@@ -1,0 +1,26 @@
+"""limg-tpu: a TPU-native (JAX/XLA/Pallas) rebuild of the limg image codec.
+
+The reference (rainerzufalldererste/limg) is a C++17/SSE research codec that
+fits three sequential linear color factors per 8x8 block, merges similar
+blocks into larger areas, bit-crushes the factor planes to adaptive bit
+depths with dithering, and scores itself with a perceptually weighted PSNR.
+This package re-designs every component TPU-first: blocks become the vector
+lane axis of batched tensor programs, serial searches become masked
+rank-over-candidates reductions, and the thread pool becomes XLA dispatch
+plus jax.sharding meshes for multi-chip corpora.
+"""
+
+from .config import EncodeConfig, BLOCK_SIZE
+from .encoder import encode_image, encode_image_device, encode_perf_step
+from .ops.error import psnr as compare_psnr
+
+__all__ = [
+    "EncodeConfig",
+    "BLOCK_SIZE",
+    "encode_image",
+    "encode_image_device",
+    "encode_perf_step",
+    "compare_psnr",
+]
+
+__version__ = "0.1.0"

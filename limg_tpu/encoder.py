@@ -1,0 +1,161 @@
+"""Fixed-grid encoder: the TPU equivalent of limg_encode3d_test.
+
+Reference driver: src/limg.cpp:1887-2265 -- independent 8x8 tiles, no
+merging: per-tile fit -> factor extraction -> bit-crush search -> dither ->
+output planes -> integer decode. Here the whole image is one batched tensor
+program: every stage operates on all blocks at once, and XLA's async dispatch
+replaces the row-band thread pool (src/limg.cpp:2105-2138).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import BLOCK_SIZE, EncodeConfig, static_block_bits
+from .ops import layout
+from .ops.fit import Decomposition, fit_blocks
+from .ops.factors import extract_factors, quantize_factors
+from .ops.crush import find_shifts
+from .ops.dither import dither_crush
+from .ops.decode import decode_blocks
+from .ops.error import psnr as weighted_psnr
+
+
+class EncodeResult(NamedTuple):
+    """Device-side encode outputs (block layout)."""
+
+    decomposition: Decomposition   # endpoints: (ch, NB) int32
+    factors: jnp.ndarray           # (3, P, NB) int32, crushed (already >> s)
+    shifts: jnp.ndarray            # (3, NB) int32
+    decoded: jnp.ndarray           # (ch, P, NB) int32
+    mask: jnp.ndarray              # (P, NB) bool
+    accum_bits: jnp.ndarray        # (3,) int32 -- total factor bits per axis
+    bits_histogram: jnp.ndarray    # (3, 9) int32 -- pixels at shift s per axis
+    bpp_block: jnp.ndarray         # (NB,) int32 -- rounded u8 bpp estimate
+
+
+def encode_blocks(px_u8: jnp.ndarray, mask: jnp.ndarray, cfg: EncodeConfig,
+                  dither_key: jax.Array) -> EncodeResult:
+    """Encode pre-blockified pixels: (>=ch, P, NB) u8 + (P, NB) mask."""
+    ch = cfg.channels
+    d = fit_blocks(px_u8, mask, ch)
+    fa, fb, fc = extract_factors(px_u8, d, ch)
+    f8_u8 = quantize_factors(fa, fb, fc)
+    f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])  # (3, P, NB)
+
+    if cfg.num_factors < 3:
+        # Reduced-factor fast modes: statically drop axes C (and B) via the
+        # shift=8 encoding that decode already understands.
+        nb = px_u8.shape[-1]
+        forced = jnp.asarray(
+            [0] * cfg.num_factors + [8] * (3 - cfg.num_factors), jnp.int32
+        )
+        base = jnp.broadcast_to(forced[:, None], (3, nb))
+    else:
+        base = None
+
+    shifts, _ = find_shifts(px_u8, mask, f8_u8, d, cfg)
+    if base is not None:
+        shifts = jnp.maximum(shifts, base)
+
+    q = dither_crush(dither_key, f8, shifts, enabled=cfg.dithering and cfg.crush_bits)
+    decoded = decode_blocks(q, shifts, d, ch)
+
+    count = mask.astype(jnp.int32).sum(axis=0)                    # (NB,)
+    s_eff = jnp.minimum(shifts, 8)                                # (3, NB)
+    bits_each = (8 - s_eff) * count[None]                         # (3, NB)
+    accum_bits = bits_each.sum(axis=1)
+    one_hot = (s_eff[:, None, :] == jnp.arange(9)[None, :, None]) # (3, 9, NB)
+    bits_histogram = (one_hot * count[None, None, :]).sum(axis=2)
+
+    # Rounded per-pixel bits estimate (src/limg.cpp:1629-1636).
+    block_bits = static_block_bits(ch) + bits_each.sum(axis=0)
+    bpp_block = jnp.minimum(0xFF, (block_bits + count // 2) // count)
+
+    return EncodeResult(
+        decomposition=d,
+        factors=q,
+        shifts=shifts,
+        decoded=decoded,
+        mask=mask,
+        accum_bits=accum_bits,
+        bits_histogram=bits_histogram,
+        bpp_block=bpp_block,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_image_device(image: jnp.ndarray, cfg: EncodeConfig, dither_key: jax.Array):
+    """(H, W, >=ch) uint8 -> (decoded image u8 RGBA, EncodeResult, grid)."""
+    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+    res = encode_blocks(px, mask, cfg, dither_key)
+    decoded = _assemble_decoded(res.decoded, image, grid, cfg)
+    return decoded, res
+
+
+def _assemble_decoded(decoded_blocks: jnp.ndarray, image: jnp.ndarray,
+                      grid: layout.BlockGrid, cfg: EncodeConfig) -> jnp.ndarray:
+    """Block-layout decode -> (H, W, 4) uint8 RGBA (alpha = 0xFF for RGB)."""
+    dec = layout.unblockify(decoded_blocks.astype(jnp.uint8), grid, BLOCK_SIZE)
+    if cfg.channels == 3:
+        alpha = jnp.full((*dec.shape[:2], 1), 0xFF, jnp.uint8)
+        dec = jnp.concatenate([dec, alpha], axis=-1)
+    return dec
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_perf_step(image: jnp.ndarray, cfg: EncodeConfig, dither_key: jax.Array):
+    """Throughput-measurement variant (reference: limg_encode3d_test_perf,
+    src/limg.cpp:2140-2327): runs the full pipeline but returns only a tiny
+    checksum so plane materialization is dead-code-eliminated exactly like
+    the reference's compile-time knobs."""
+    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+    res = encode_blocks(px, mask, cfg, dither_key)
+    return res.decoded.sum(), res.shifts.sum()
+
+
+def encode_image(image, cfg: EncodeConfig, seed: int = 0):
+    """Host-facing full encode. Returns a dict of planes + stats (NumPy).
+
+    Output surface mirrors limg_encode3d_info (src/limg.h:29-33) plus the
+    blocked-path extras (bits-per-pixel plane, src/limg.h:39-44).
+    """
+    import numpy as np
+
+    image = jnp.asarray(image)
+    key = jax.random.PRNGKey(seed)
+    decoded, res = encode_image_device(image, cfg, key)
+    grid = layout.grid_for(image.shape[0], image.shape[1])
+
+    f_shifted = (res.factors << jnp.minimum(res.shifts, 8)[:, None, :]) & 0xFF
+    planes = layout.unblockify(f_shifted.astype(jnp.uint8), grid)  # (H, W, 3)
+    shift_plane = layout.broadcast_block_plane(res.shifts, grid)   # (3, H, W)
+    bpp_plane = layout.broadcast_block_plane(res.bpp_block, grid)  # (H, W)
+    psnr, mse = weighted_psnr(image, decoded, cfg.channels)
+
+    total_px = image.shape[0] * image.shape[1]
+    return dict(
+        decoded=np.asarray(decoded),
+        factors_a=np.asarray(planes[..., 0]),
+        factors_b=np.asarray(planes[..., 1]),
+        factors_c=np.asarray(planes[..., 2]),
+        shift=np.asarray(shift_plane).transpose(1, 2, 0).astype(np.uint8),
+        bpp=np.asarray(bpp_plane).astype(np.uint8),
+        endpoints={
+            "colAMin": np.asarray(res.decomposition.dirA_min),
+            "colAMax": np.asarray(res.decomposition.dirA_max),
+            "colBMin": np.asarray(res.decomposition.dirB_offset),
+            "colBMax": np.asarray(res.decomposition.dirB_mag),
+            "colCMin": np.asarray(res.decomposition.dirC_offset),
+            "colCMax": np.asarray(res.decomposition.dirC_mag),
+        },
+        psnr=float(psnr),
+        mse=float(mse),
+        mean_bpp=float(np.asarray(bpp_plane).mean()),
+        avg_block_bits=float(np.asarray(res.accum_bits).sum() / total_px),
+        bits_histogram=np.asarray(res.bits_histogram),
+    )

@@ -1,0 +1,219 @@
+"""Bit-crush: per-block adaptive factor bit depth, batched over all blocks.
+
+TPU-first reformulation of the reference's serial shift searches
+(src/limg_bit_crush.h:332-1051): instead of a data-dependent greedy scan with
+early exits, candidate shift triples are evaluated for *all* blocks at once
+(masked, fully vectorized) and the winner is selected by a rank-over-
+candidates reduction. Selection rule: among admissible triples, maximize
+total shift, tie-break by minimal block error, then lexicographically
+largest triple; (0,0,0) if none is admissible. This dominates the
+reference's greedy result at equal thresholds (>= total shift).
+
+Admissibility per triple (limg_encode_try_bit_crush_block_3d_,
+src/limg_bit_crush.h:96-313): simulated integer decode with factors >> s,
+per-pixel weighted error <= maxPixelBitCrushError, and
+blockError * 0x10 < maxBlockBitCrushError * numPixels.
+
+Three search modes (config.crush_mode):
+- "guess":      the reference's canned triples with its nested-acceptance
+                logic (src/limg_bit_crush.h:332-392).
+- "ladder":     per-axis sweeps -> additive error model ranks all 729
+                triples on scalars -> exact verification of the top-K.
+- "exhaustive": all 729 triples exactly (the golden-model optimum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import EncodeConfig
+from .error import weighted_error
+from .fit import Decomposition
+from .decode import DEQUANT_MULT, decode_params
+
+GUESS_TRIPLES = ((4, 5, 6), (5, 8, 8), (4, 6, 8), (2, 4, 5))
+
+_BIG_I32 = jnp.int32(2**31 - 1)
+
+
+def _triple_errors(px, mask_i, f8, normals, mins, shifts):
+    """Exact per-block errors for one (possibly per-block) shift triple.
+
+    px: (ch, P, NB) i32 source pixels; mask_i: (P, NB) i32 (0/1);
+    f8: (3, P, NB) i32 uncrushed factor planes; normals/mins: (3, ch, NB) i32
+    already drop-adjusted for these shifts; shifts: (3, NB) i32.
+    Returns (pix_max, block_err): (NB,) i32 each.
+    """
+    s_eff = jnp.minimum(shifts, 8)
+    q = f8 >> s_eff[:, None, :]
+    f_dec = q * DEQUANT_MULT[s_eff][:, None, :]
+    prod = f_dec[:, None] * normals[:, :, None, :] + 128
+    est = (mins[:, :, None, :] + (prod >> 8)).sum(axis=0)
+    dec = jnp.clip(est, 0, 255)
+    err = weighted_error(dec, px) * mask_i       # (P, NB)
+    return err.max(axis=0), err.sum(axis=0)
+
+
+def evaluate_shifts(px, mask_i, f8, d: Decomposition, shifts, channels: int):
+    """Errors for per-block shifts (3, NB). Returns (pix_max, block_err)."""
+    normals, mins = decode_params(d, shifts, channels)
+    return _triple_errors(px, mask_i, f8, normals, mins, shifts)
+
+
+def _admissible(pix_max, block_err, count, cfg: EncodeConfig):
+    return (pix_max <= cfg.max_pixel_bit_crush_error) & (
+        block_err * 0x10 < cfg.max_block_bit_crush_error * count
+    )
+
+
+def _all_triples() -> np.ndarray:
+    a, b, c = np.meshgrid(np.arange(9), np.arange(9), np.arange(9), indexing="ij")
+    return np.stack([a.ravel(), b.ravel(), c.ravel()], axis=1).astype(np.int32)  # (729, 3)
+
+
+def _scan_candidates(px, mask_i, f8, d, count, cfg, triples_per_block):
+    """Exact-evaluate K candidate triples per block, select the best.
+
+    triples_per_block: (K, 3, NB) i32. Candidates must be ordered so that, on
+    equal (total, block_err), the *later* candidate is the preferred
+    (lexicographically larger) one. Returns (shifts (3, NB), block_err (NB,)).
+    """
+    channels = px.shape[0]
+
+    def body(carry, shifts):
+        best_s, best_total, best_err = carry
+        pix_max, block_err = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
+        ok = _admissible(pix_max, block_err, count, cfg)
+        total = jnp.minimum(shifts, 8).sum(axis=0)
+        take = ok & ((total > best_total) | ((total == best_total) & (block_err <= best_err)))
+        best_s = jnp.where(take, shifts, best_s)
+        best_total = jnp.where(take, total, best_total)
+        best_err = jnp.where(take, block_err, best_err)
+        return (best_s, best_total, best_err), None
+
+    nb = px.shape[-1]
+    init = (
+        jnp.zeros((3, nb), jnp.int32),
+        jnp.full((nb,), -1, jnp.int32),
+        jnp.full((nb,), 2**31 - 1, jnp.int32),
+    )
+    (best_s, _, best_err), _ = lax.scan(body, init, triples_per_block)
+    return best_s, best_err
+
+
+def find_shifts_exhaustive(px, mask_i, f8, d, count, cfg: EncodeConfig):
+    """All 729 triples, ascending lex order (ties -> later/larger wins)."""
+    nb = px.shape[-1]
+    per_block = jnp.broadcast_to(jnp.asarray(_all_triples())[:, :, None], (729, 3, nb))
+    return _scan_candidates(px, mask_i, f8, d, count, cfg, per_block)
+
+
+def find_shifts_guess(px, mask_i, f8, d, count, cfg: EncodeConfig):
+    """The reference's canned-guess acceptance logic, batched.
+
+    if ok(4,5,6): pick (5,8,8) if ok else (4,6,8) if ok else (4,5,6)
+    else:         pick (2,4,5) if ok else (0,0,0)
+    (src/limg_bit_crush.h:332-392)
+    """
+    channels = px.shape[0]
+    nb = px.shape[-1]
+    oks, errs = [], []
+    for t in GUESS_TRIPLES:
+        shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, nb))
+        pix_max, block_err = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
+        oks.append(_admissible(pix_max, block_err, count, cfg))
+        errs.append(block_err)
+    t456, t588, t468, t245 = [jnp.asarray(t, jnp.int32)[:, None] for t in GUESS_TRIPLES]
+    zero = jnp.zeros((3, 1), jnp.int32)
+    hi = jnp.where(oks[1], t588, jnp.where(oks[2], t468, t456))
+    lo = jnp.where(oks[3], t245, zero)
+    shifts = jnp.where(oks[0], hi, lo)
+    err = jnp.where(
+        oks[0],
+        jnp.where(oks[1], errs[1], jnp.where(oks[2], errs[2], errs[0])),
+        jnp.where(oks[3], errs[3], _BIG_I32),
+    )
+    return shifts, err
+
+
+def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
+    """Additive-model ranking + exact top-K verification.
+
+    Stage 1: 27 exact evaluations -- each axis alone at shifts 0..8 (other
+    axes unquantized). Stage 2: additive approximation of block error over
+    the full 9^3 lattice on per-block scalars; rank by (approx-admissible,
+    total shift, -approx error) packed into one int32 key. Stage 3: exact
+    verification of the per-block top-K candidates (+ guaranteed (0,0,0)
+    fallback if none verifies).
+    """
+    channels = px.shape[0]
+    nb = px.shape[-1]
+    k = cfg.ladder_k
+
+    # Stage 1: per-axis sweeps.
+    pix_axis = []
+    blk_axis = []
+    for axis in range(3):
+        pix_s, blk_s = [], []
+        for s in range(9):
+            t = [0, 0, 0]
+            t[axis] = s
+            shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, nb))
+            pm, be = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
+            pix_s.append(pm)
+            blk_s.append(be)
+        pix_axis.append(jnp.stack(pix_s))  # (9, NB)
+        blk_axis.append(jnp.stack(blk_s))
+    err0 = blk_axis[0][0]                  # error at (0,0,0)
+    pix0 = pix_axis[0][0]
+
+    # Stage 2: additive model + ranking key.
+    d_blk = [b - b[0][None] for b in blk_axis]   # (9, NB) deltas
+    d_pix = [p - p[0][None] for p in pix_axis]
+    approx_blk = (
+        err0[None, None, None]
+        + d_blk[0][:, None, None]
+        + d_blk[1][None, :, None]
+        + d_blk[2][None, None, :]
+    )  # (9, 9, 9, NB)
+    approx_pix = (
+        pix0[None, None, None]
+        + d_pix[0][:, None, None]
+        + d_pix[1][None, :, None]
+        + d_pix[2][None, None, :]
+    )
+    adm = _admissible(approx_pix, approx_blk, count, cfg).astype(jnp.int32)
+    totals = jnp.asarray(
+        np.arange(9)[:, None, None] + np.arange(9)[None, :, None] + np.arange(9)[None, None, :],
+        jnp.int32,
+    )
+    err_packed = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
+    key = (adm << 30) + (totals[..., None] << 25) + err_packed  # (9,9,9,NB)
+    key = key.reshape(729, nb).T                                # (NB, 729)
+
+    _, top_idx = lax.top_k(key, k)                              # (NB, K)
+    # Decode lattice index -> triple; evaluate worst-ranked first so that the
+    # best-ranked candidate wins ties in the scan.
+    top_idx = top_idx[:, ::-1].T                                # (K, NB)
+    cand = jnp.stack([top_idx // 81, (top_idx // 9) % 9, top_idx % 9], axis=1).astype(jnp.int32)
+    return _scan_candidates(px, mask_i, f8, d, count, cfg, cand)
+
+
+def find_shifts(px_u8, mask, f8_u8, d: Decomposition, cfg: EncodeConfig):
+    """Dispatch by cfg.crush_mode. Returns (shifts (3, NB) i32, block_err)."""
+    channels = cfg.channels
+    px = px_u8[:channels].astype(jnp.int32)
+    mask_i = mask.astype(jnp.int32)
+    count = mask_i.sum(axis=0)
+    f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
+    nb = px.shape[-1]
+    if not cfg.crush_bits:
+        return jnp.zeros((3, nb), jnp.int32), jnp.zeros((nb,), jnp.int32)
+    if cfg.crush_mode == "exhaustive":
+        return find_shifts_exhaustive(px, mask_i, f8, d, count, cfg)
+    if cfg.crush_mode == "guess":
+        return find_shifts_guess(px, mask_i, f8, d, count, cfg)
+    return find_shifts_ladder(px, mask_i, f8, d, count, cfg)

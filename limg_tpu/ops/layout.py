@@ -1,0 +1,83 @@
+"""Image <-> block-tensor layout transforms.
+
+The whole encoder works on the canonical device layout ``(ch, P, NB)``:
+channels outermost, the P pixels of a block in the sublane axis, and all
+blocks of the image along the minor (lane) axis. On TPU this puts the
+embarrassingly parallel axis (blocks) on the 128-wide vector lanes and makes
+every per-block reduction a cheap sublane reduction.
+
+This replaces the reference's per-tile memcpy gather
+(src/limg.cpp:1104-1107) and its row-band thread sharding
+(src/limg.cpp:2114-2137) with a single relayout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BLOCK_SIZE
+
+
+class BlockGrid(NamedTuple):
+    height: int
+    width: int
+    blocks_y: int
+    blocks_x: int
+
+    @property
+    def num_blocks(self) -> int:
+        return self.blocks_y * self.blocks_x
+
+
+def grid_for(height: int, width: int, block: int = BLOCK_SIZE) -> BlockGrid:
+    return BlockGrid(height, width, -(-height // block), -(-width // block))
+
+
+def blockify(image: jnp.ndarray, block: int = BLOCK_SIZE):
+    """(H, W, C) uint8 -> (C, block*block, NB) uint8 + (block*block, NB) mask.
+
+    Edge blocks are zero-padded; ``mask`` marks real pixels. Pixel order
+    within a block is row-major, matching the reference's tile copy
+    (src/limg.cpp:1104-1107).
+    """
+    h, w, c = image.shape
+    g = grid_for(h, w, block)
+    pad_y = g.blocks_y * block - h
+    pad_x = g.blocks_x * block - w
+    padded = jnp.pad(image, ((0, pad_y), (0, pad_x), (0, 0)))
+    # (By, b, Bx, b, C) -> (C, b, b, By, Bx) -> (C, P, NB)
+    tiles = padded.reshape(g.blocks_y, block, g.blocks_x, block, c)
+    px = tiles.transpose(4, 1, 3, 0, 2).reshape(c, block * block, g.num_blocks)
+
+    ys = np.arange(g.blocks_y * block).reshape(g.blocks_y, block)
+    xs = np.arange(g.blocks_x * block).reshape(g.blocks_x, block)
+    valid = (ys < h)[:, :, None, None] & (xs < w)[None, None, :, :]  # (By,b,Bx,b)
+    mask = jnp.asarray(
+        valid.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
+    )
+    return px, mask, g
+
+
+def unblockify(px: jnp.ndarray, grid: BlockGrid, block: int = BLOCK_SIZE) -> jnp.ndarray:
+    """(C, block*block, NB) -> (H, W, C), cropping edge padding."""
+    c = px.shape[0]
+    tiles = px.reshape(c, block, block, grid.blocks_y, grid.blocks_x)
+    img = tiles.transpose(3, 1, 4, 2, 0).reshape(
+        grid.blocks_y * block, grid.blocks_x * block, c
+    )
+    return img[: grid.height, : grid.width]
+
+
+def broadcast_block_plane(vals: jnp.ndarray, grid: BlockGrid, block: int = BLOCK_SIZE) -> jnp.ndarray:
+    """Per-block values (..., NB) -> per-pixel plane (..., H, W)."""
+    lead = vals.shape[:-1]
+    v = vals.reshape(*lead, grid.blocks_y, grid.blocks_x)
+    v = jnp.broadcast_to(
+        v[..., :, None, :, None],
+        (*lead, grid.blocks_y, block, grid.blocks_x, block),
+    )
+    img = v.reshape(*lead, grid.blocks_y * block, grid.blocks_x * block)
+    return img[..., : grid.height, : grid.width]

@@ -1,0 +1,126 @@
+"""Multi-chip sharding of the encoder over a jax.sharding.Mesh.
+
+The reference's entire parallelism story is a std::thread pool sharding one
+image into row bands (src/limg_threading.cpp, src/limg.cpp:2105-2138) and a
+serial CLI loop over files (src/main.cpp:171-414). The TPU-native story
+(SURVEY.md section 2.7):
+
+- intra-image: blocks are the vector/data axis -- shard the NB axis of the
+  block tensors across chips; every encode stage is elementwise over NB, so
+  XLA inserts no communication until the final stats reductions (psum).
+- inter-image: corpus encode shards same-shaped images across chips with
+  shard_map; per-image encode is embarrassingly parallel, metrics are
+  all-reduced.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import BLOCK_SIZE, EncodeConfig, static_block_bits
+from ..ops import layout
+from ..ops.error import max_possible_error, weighted_error
+from ..encoder import encode_blocks
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "img") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _encode_one_image_stats(image: jnp.ndarray, cfg: EncodeConfig, key: jax.Array):
+    """Full encode of one image -> (psnr, mean_bpp, accum_bits)."""
+    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+    res = encode_blocks(px, mask, cfg, key)
+    src = px[: cfg.channels].astype(jnp.int32)
+    err = weighted_error(res.decoded, src) * mask.astype(jnp.int32)
+    total_err = err.astype(jnp.float32).sum()
+    n = grid.height * grid.width
+    mse = total_err / n
+    psnr = 10.0 * jnp.log10(max_possible_error(cfg.channels) / jnp.maximum(mse, 1e-12))
+    count = mask.astype(jnp.int32).sum(axis=0)
+    header_bits = static_block_bits(cfg.channels) * grid.num_blocks
+    exact_bpp = (res.accum_bits.sum() + header_bits) / n
+    return psnr, exact_bpp, res.accum_bits
+
+
+def encode_corpus_sharded(images, cfg: EncodeConfig, n_devices: int | None = None,
+                          seed: int = 0):
+    """Encode a batch of same-shape images sharded over a device mesh.
+
+    ``images``: (N, H, W, C) uint8, N divisible by the mesh size. Returns
+    host-side dict with per-image psnr/bpp and the corpus-mean psnr computed
+    with an on-device psum (the collective rides ICI).
+    """
+    mesh = make_mesh(n_devices)
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("img"), P("img")),
+        out_specs=(P("img"), P("img"), P()),
+    )
+    def shard_fn(imgs, ks):
+        psnr, bpp = jax.vmap(
+            lambda im, k: _encode_one_image_stats(im, cfg, k)[:2]
+        )(imgs, ks)
+        mean_psnr = jax.lax.psum(psnr.sum(), "img") / n
+        return psnr, bpp, mean_psnr
+
+    psnr, bpp, mean_psnr = jax.jit(shard_fn)(images, keys)
+    return {
+        "psnr": np.asarray(psnr),
+        "bpp": np.asarray(bpp),
+        "mean_psnr": float(mean_psnr),
+    }
+
+
+def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None = None,
+                                seed: int = 0):
+    """Single-image encode with the *block* axis sharded across chips.
+
+    The block tensors' NB axis is laid out over the mesh; all encode stages
+    are block-elementwise so the only communication is the stats reduction.
+    NB must be divisible by the mesh size (guaranteed by padding in
+    blockify for typical sizes; asserts otherwise).
+    """
+    mesh = make_mesh(n_devices, axis="blk")
+    image = jnp.asarray(image)
+    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+    nb = px.shape[-1]
+    ndev = mesh.devices.size
+    pad = (-nb) % ndev
+    if pad:
+        px = jnp.pad(px, ((0, 0), (0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    key = jax.random.PRNGKey(seed)
+
+    sharding = NamedSharding(mesh, P(None, None, "blk"))
+    px = jax.device_put(px, sharding)
+    mask = jax.device_put(mask, NamedSharding(mesh, P(None, "blk")))
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def run(px, mask, cfg, key):
+        res = encode_blocks(px, mask, cfg, key)
+        src = px[: cfg.channels].astype(jnp.int32)
+        err = (weighted_error(res.decoded, src) * mask.astype(jnp.int32)).astype(jnp.float32).sum()
+        return res.decoded, res.shifts, err
+
+    decoded, shifts, err = run(px, mask, cfg, key)
+    n = grid.height * grid.width
+    mse = float(err) / n
+    psnr = 10.0 * np.log10(max_possible_error(cfg.channels) / max(mse, 1e-12))
+    if pad:
+        decoded = decoded[..., :nb]
+    img = layout.unblockify(decoded.astype(jnp.uint8), grid, BLOCK_SIZE)
+    return np.asarray(img), float(psnr)
