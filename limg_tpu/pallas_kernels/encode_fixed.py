@@ -1,0 +1,427 @@
+"""Fused Pallas TPU kernel: the whole fixed-grid block encode in VMEM.
+
+The jnp pipeline is HBM-bound: each of the ~39 bit-crush candidate
+evaluations streams the factor planes and pixels from HBM and materializes
+(axes, ch, P, NB)-shaped intermediates. This kernel keeps one tile of blocks
+resident in VMEM across fit -> factor extraction -> ladder crush -> dither
+-> integer decode, so HBM traffic collapses to one packed-u32 read of the
+pixels and small packed outputs.
+
+Layout inside the kernel: every quantity is a 2-D (P, T) array (P = 64
+pixels in sublanes, T = lane tile of blocks) or a (1, T) per-block row;
+channels are unrolled into separate arrays. RGBA pixels arrive packed in one
+int32 word-plane; crushed factors and decoded pixels leave the same way.
+
+Semantics match the jnp path / golden model (reference citations in
+limg_tpu/ops/*.py); the crush search is the same ladder: 27 exact per-axis
+sweeps, additive-model ranking of all 729 shift triples, then exact
+verification of the top-K candidates by peeling argmaxes of the ranking key.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EncodeConfig
+
+LANE_TILE = 256          # blocks per kernel instance
+P = 64                   # pixels per 8x8 block
+
+# dequant multiplier (1 << s) + bit-replication bias, s = 0..8
+_MULT = (1, 2, 4, 8, 17, 36, 85, 255, 0)
+
+
+def _unpack_channels(packed, channels):
+    """(P, T) int32 packed RGBA -> list of (P, T) int32 channel planes."""
+    return [(packed >> (8 * c)) & 0xFF for c in range(channels)]
+
+
+def _weighted_err(d, channels):
+    """Weighted squared error from per-channel int32 diffs (list of (P,T))."""
+    d2 = [x * x for x in d]
+    red_lo = d2[0] < 0x4000
+    w0 = jnp.where(red_lo, 2, 3)
+    err = d2[0] * w0 + d2[1] * 4
+    if channels >= 3:
+        w2 = jnp.where(red_lo, 3, 2)
+        err = err + d2[2] * w2
+    if channels == 4:
+        err = err + d2[3] * 3
+    return err
+
+
+def _signed_unit_mean(vecs, mask, inv_count):
+    """vecs: list of ch (P,T) f32. Returns list of ch (1,T) f32 directions."""
+    len_sq = sum(v * v for v in vecs)
+    best = jnp.abs(vecs[0])
+    lead = vecs[0]
+    for v in vecs[1:]:
+        a = jnp.abs(v)
+        take = a > best
+        best = jnp.where(take, a, best)
+        lead = jnp.where(take, v, lead)
+    inv_len = jnp.where(len_sq > 0, lax.rsqrt(jnp.maximum(len_sq, 1e-38)), 0.0)
+    inv_len = jnp.where(lead < 0, -inv_len, inv_len) * mask
+    return [jnp.sum(v * inv_len, axis=0, keepdims=True) * inv_count for v in vecs]
+
+
+def _project_row(vecs, direction):
+    """Per-pixel projection factor. vecs: ch x (P,T); direction: ch x (1,T)."""
+    dot = sum(v * d for v, d in zip(vecs, direction))
+    d2 = sum(d * d for d in direction)
+    inv = jnp.where(d2 > 0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
+    return dot * inv
+
+
+def _fast_round_i32(x):
+    return jnp.floor(x + 0.5).astype(jnp.int32)
+
+
+def _table_row(s, table):
+    """Per-block (1,T) gather from a static 9-entry table."""
+    out = jnp.zeros_like(s)
+    for v in range(9):
+        out = jnp.where(s == v, jnp.int32(table[v]), out)
+    return out
+
+
+def _make_kernel(cfg: EncodeConfig, ladder_k: int, debug_stage: int = 99):
+    channels = cfg.channels
+    max_pix = cfg.max_pixel_bit_crush_error
+    max_blk = cfg.max_block_bit_crush_error
+    crush = cfg.crush_bits
+    dither = cfg.dithering and crush
+
+    def _dbg_out(shifts_ref, q_ref, dec_ref, val):
+        shifts_ref[...] = jnp.zeros_like(shifts_ref)
+        q_ref[...] = val.astype(jnp.int32)
+        dec_ref[...] = val.astype(jnp.int32)
+
+    def kernel(seed_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref):
+        mask_i = mask_ref[...]                       # (P, T) int32 0/1
+        mask = mask_i.astype(jnp.float32)
+        packed = packed_ref[...]
+        px_i = _unpack_channels(packed, channels)    # ch x (P, T) int32
+        px = [p.astype(jnp.float32) for p in px_i]
+
+        count = jnp.sum(mask_i, axis=0, keepdims=True)         # (1, T)
+        cnt_f = count.astype(jnp.float32)
+        inv_count = 1.0 / jnp.maximum(cnt_f, 1.0)
+
+        # ---- fit (ops/fit.py semantics) --------------------------------
+        avg = [jnp.sum(p * mask, axis=0, keepdims=True) * inv_count for p in px]
+        corrected = [(p - a) * mask for p, a in zip(px, avg)]
+        dir_a = _signed_unit_mean(corrected, mask, inv_count)
+
+        fac_a = _project_row(corrected, dir_a) * mask
+        est = [a + fac_a * d for a, d in zip(avg, dir_a)]
+        resid = [(p - e) * mask for p, e in zip(px, est)]
+        dir_b = _signed_unit_mean(resid, mask, inv_count)
+
+        if channels == 3:
+            dir_c = [
+                dir_a[1] * dir_b[2] - dir_a[2] * dir_b[1],
+                dir_a[2] * dir_b[0] - dir_a[0] * dir_b[2],
+                dir_a[0] * dir_b[1] - dir_a[1] * dir_b[0],
+            ]
+            fac_b = _project_row(resid, dir_b) * mask
+            est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
+            resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
+            fac_c = _project_row(resid_b, dir_c) * mask
+        else:
+            fac_b = _project_row(resid, dir_b) * mask
+            est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
+            resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
+            dir_c = _signed_unit_mean(resid_b, mask, inv_count)
+            fac_c = _project_row(resid_b, dir_c) * mask
+
+        big = jnp.float32(3.4e38)
+
+        def minmax(f):
+            mn = jnp.min(jnp.where(mask_i > 0, f, big), axis=0, keepdims=True)
+            mx = jnp.max(jnp.where(mask_i > 0, f, -big), axis=0, keepdims=True)
+            return mn, mx
+
+        if debug_stage <= 2:
+            _dbg_out(shifts_ref, q_ref, dec_ref, fac_c)
+            return
+
+        mn_a, mx_a = minmax(fac_a)
+        mn_b, mx_b = minmax(fac_b)
+        mn_c, mx_c = minmax(fac_c)
+
+        flat = sum(d * d for d in dir_a) <= 0.0      # (1, T)
+
+        def z(v):
+            return jnp.where(flat, 0.0, v)
+
+        ia_min = [_fast_round_i32(a + mn_a * d) for a, d in zip(avg, dir_a)]
+        ia_max = [_fast_round_i32(a + mx_a * d) for a, d in zip(avg, dir_a)]
+        ib_off = [_fast_round_i32(z(mn_b * d)) for d in dir_b]
+        ib_mag = [_fast_round_i32(z(mx_b * d)) for d in dir_b]
+        ic_off = [_fast_round_i32(z(mn_c * d)) for d in dir_c]
+        ic_mag = [_fast_round_i32(z(mx_c * d)) for d in dir_c]
+
+        # ---- factor extraction (ops/factors.py) ------------------------
+        na = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ia_max, ia_min)]
+        nb = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ib_mag, ib_off)]
+        nc = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ic_mag, ic_off)]
+        min_a_f = [m.astype(jnp.float32) for m in ia_min]
+        off_b_f = [m.astype(jnp.float32) for m in ib_off]
+        off_c_f = [m.astype(jnp.float32) for m in ic_off]
+
+        va = [p - m for p, m in zip(px, min_a_f)]
+        fa = _project_row(va, na)
+        ea = [m + fa * n for m, n in zip(min_a_f, na)]
+        fb = _project_row([p - e - o for p, e, o in zip(px, ea, off_b_f)], nb)
+        eb = [e + fb * n for e, n in zip(ea, nb)]
+        fc = _project_row([p - e - o for p, e, o in zip(px, eb, off_c_f)], nc)
+
+        def q8(f):
+            scaled = f * 255.0
+            r = jnp.floor(scaled + 0.5)
+            # round-half-even not required: jnp path uses rint; the half-up
+            # difference is below the u8 quant noise and PSNR/bpp gated
+            return jnp.clip(r, 0.0, 255.0).astype(jnp.int32)
+
+        f8 = [q8(fa), q8(fb), q8(fc)]                # 3 x (P, T) int32
+        if debug_stage <= 3:
+            _dbg_out(shifts_ref, q_ref, dec_ref, f8[0] + f8[1] + f8[2])
+            return
+
+        # integer decode params per axis/channel
+        n_int = [
+            [mx - mn for mx, mn in zip(ia_max, ia_min)],
+            [mx - mn for mx, mn in zip(ib_mag, ib_off)],
+            [mx - mn for mx, mn in zip(ic_mag, ic_off)],
+        ]
+        m_int = [ia_min, ib_off, ic_off]
+
+        def decode_eval(s, q):
+            """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors ->
+            decoded channels ch x (P,T) int32.
+
+            Products are computed in f32: f_dec <= 255 and |normal| <= ~1500,
+            so every product is < 2^24 and exact in f32 -- int32 vector
+            multiplies are far slower on the VPU than f32. The arithmetic
+            >> 8 of a possibly negative product is floor(x / 256), which
+            jnp.floor reproduces exactly on integral f32 values.
+            """
+            dec = [jnp.zeros_like(packed) for _ in range(channels)]
+            for k in range(3):
+                mult = _table_row(s[k], _MULT).astype(jnp.float32)
+                f_dec = q[k].astype(jnp.float32) * mult
+                dropped = s[k] > 7
+                for c in range(channels):
+                    n_kc = jnp.where(dropped, 0, n_int[k][c]).astype(jnp.float32)
+                    if k == 0:
+                        m_kc = m_int[k][c]
+                    else:
+                        m_kc = jnp.where(dropped, 0, m_int[k][c])
+                    contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
+                    dec[c] = dec[c] + m_kc + contrib.astype(jnp.int32)
+            return [jnp.clip(d, 0, 255) for d in dec]
+
+        def crush_eval(s):
+            """s: 3 x (1,T) -> (pix_max, block_err), each (1,T) int32.
+
+            Per-pixel weighted error <= 255^2 * 12 < 2^20: exact in f32; the
+            block sum runs in int32 (adds are cheap, exactness preserved).
+            """
+            q = [f >> jnp.minimum(s[k], 8) for k, f in enumerate(f8)]
+            dec = decode_eval(s, q)
+            d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
+            d2 = [x * x for x in d_f]
+            red_lo = d2[0] < float(0x4000)
+            err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
+            if channels >= 3:
+                err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
+            if channels == 4:
+                err = err + d2[3] * 3.0
+            err_i = err.astype(jnp.int32) * mask_i
+            return (
+                jnp.max(err_i, axis=0, keepdims=True),
+                jnp.sum(err_i, axis=0, keepdims=True),
+            )
+
+        t = packed.shape[-1]
+        zero_row = jnp.zeros((1, t), jnp.int32)
+
+        if debug_stage <= 4:
+            pm, be = crush_eval([zero_row, zero_row, zero_row])
+            _dbg_out(shifts_ref, q_ref, dec_ref, pm + be + jnp.zeros_like(packed))
+            return
+
+        if crush:
+            # ---- 27 per-axis sweeps -------------------------------------
+            blk_ax = []
+            pix_ax = []
+            for axis in range(3):
+                blk_s = []
+                pix_s = []
+                for sv in range(9):
+                    s = [zero_row, zero_row, zero_row]
+                    s[axis] = jnp.full((1, t), sv, jnp.int32)
+                    pm, be = crush_eval(s)
+                    blk_s.append(be)
+                    pix_s.append(pm)
+                blk_ax.append(jnp.concatenate(blk_s, axis=0))   # (9, T)
+                pix_ax.append(jnp.concatenate(pix_s, axis=0))
+            err0 = blk_ax[0][0:1]
+            pix0 = pix_ax[0][0:1]
+            d_blk = [b - b[0:1] for b in blk_ax]
+            d_pix = [p - p[0:1] for p in pix_ax]
+
+            # ---- additive-model ranking key over the 9^3 lattice --------
+            # key = admissible<<30 | total<<25 | inverted-compressed error
+            bc_blk = (d_blk[1][:, None, :] + d_blk[2][None, :, :]).reshape(81, t)
+            bc_pix = (d_pix[1][:, None, :] + d_pix[2][None, :, :]).reshape(81, t)
+            approx_blk = (err0 + d_blk[0][:, None, :] + bc_blk[None, :, :]).reshape(729, t)
+            approx_pix = (pix0 + d_pix[0][:, None, :] + bc_pix[None, :, :]).reshape(729, t)
+            iota729 = lax.broadcasted_iota(jnp.int32, (729, t), 0)
+            totals = iota729 // 81 + (iota729 // 9) % 9 + iota729 % 9
+            adm = (
+                (approx_pix <= max_pix) & (approx_blk * 0x10 < max_blk * count)
+            ).astype(jnp.int32)
+            err_pack = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
+            key = (adm << 30) + (totals << 25) + err_pack       # (729, T)
+
+            def round_body(_, carry):
+                key, bs0, bs1, bs2, b_tot, b_err = carry
+                m = jnp.max(key, axis=0, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(key == m, iota729, 729), axis=0, keepdims=True
+                )                                               # (1, T)
+                sa = idx // 81
+                sb = (idx // 9) % 9
+                sc = idx % 9
+                pm, be = crush_eval([sa, sb, sc])
+                ok = (pm <= max_pix) & (be * 0x10 < max_blk * count)
+                total = sa + sb + sc
+                take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
+                bs0 = jnp.where(take, sa, bs0)
+                bs1 = jnp.where(take, sb, bs1)
+                bs2 = jnp.where(take, sc, bs2)
+                b_tot = jnp.where(take, total, b_tot)
+                b_err = jnp.where(take, be, b_err)
+                key = jnp.where(iota729 == idx, -(2**31) + 1, key)
+                return key, bs0, bs1, bs2, b_tot, b_err
+
+            if debug_stage <= 5:
+                _dbg_out(shifts_ref, q_ref, dec_ref, key[:64] + jnp.zeros_like(packed))
+                return
+            init = (
+                key,
+                zero_row, zero_row, zero_row,
+                jnp.full((1, t), -1, jnp.int32),
+                jnp.full((1, t), 2**31 - 1, jnp.int32),
+            )
+            _, s0, s1, s2, _, _ = lax.fori_loop(0, ladder_k, round_body, init)
+            shifts = [s0, s1, s2]
+        else:
+            shifts = [zero_row, zero_row, zero_row]
+
+        # ---- dither + crush (ops/dither.py) -----------------------------
+        if dither:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            q = []
+            for k in range(3):
+                s = shifts[k]
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((P, t)), jnp.uint32
+                ).astype(jnp.int32)
+                live = (s > 0) & (s < 8)
+                noise = jnp.where(
+                    live,
+                    (bits & ((1 << s) - 1)) - (1 << jnp.maximum(s - 1, 0)),
+                    0,
+                )
+                q.append(jnp.clip(f8[k] + noise, 0, 255) >> jnp.minimum(s, 8))
+        else:
+            q = [f >> jnp.minimum(shifts[k], 8) for k, f in enumerate(f8)]
+
+        # ---- final decode + packing -------------------------------------
+        dec = decode_eval(shifts, q)
+        packed_dec = dec[0] + (dec[1] << 8)
+        if channels >= 3:
+            packed_dec = packed_dec + (dec[2] << 16)
+        if channels == 4:
+            packed_dec = packed_dec + (dec[3] << 24)
+        else:
+            packed_dec = packed_dec + jnp.int32(np.uint32(0xFF000000).view(np.int32))
+
+        shifts_ref[...] = jnp.concatenate(shifts, axis=0)       # (3, T)
+        q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
+        dec_ref[...] = packed_dec
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "debug_stage"))
+def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
+                         cfg: EncodeConfig, seed: jnp.ndarray,
+                         interpret: bool = False, debug_stage: int = 99):
+    """Fused fixed-grid encode.
+
+    packed_px: (P, NB) int32 RGBA-packed pixels; mask: (P, NB) bool;
+    seed: () int32. Returns (shifts (3, NB) i32, q_packed (P, NB) i32,
+    decoded_packed (P, NB) i32). NB is padded to the lane tile internally.
+    """
+    nb = packed_px.shape[-1]
+    pad = (-nb) % LANE_TILE
+    if pad:
+        packed_px = jnp.pad(packed_px, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    nbp = nb + pad
+    grid = nbp // LANE_TILE
+
+    kernel = _make_kernel(cfg, cfg.ladder_k, debug_stage)
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, nbp), jnp.int32),
+        jax.ShapeDtypeStruct((P, nbp), jnp.int32),
+        jax.ShapeDtypeStruct((P, nbp), jnp.int32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((P, LANE_TILE), lambda i, *_: (0, i)),
+            pl.BlockSpec((P, LANE_TILE), lambda i, *_: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, LANE_TILE), lambda i, *_: (0, i)),
+            pl.BlockSpec((P, LANE_TILE), lambda i, *_: (0, i)),
+            pl.BlockSpec((P, LANE_TILE), lambda i, *_: (0, i)),
+        ),
+    )
+    shifts, q_packed, dec_packed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed.reshape(1).astype(jnp.int32), packed_px, mask.astype(jnp.int32))
+    if pad:
+        shifts = shifts[:, :nb]
+        q_packed = q_packed[:, :nb]
+        dec_packed = dec_packed[:, :nb]
+    return shifts, q_packed, dec_packed
+
+
+def pack_channels(px_u8: jnp.ndarray) -> jnp.ndarray:
+    """(C, P, NB) uint8 -> (P, NB) int32 packed (c0 | c1<<8 | c2<<16 ...)."""
+    c = px_u8.shape[0]
+    packed = px_u8[0].astype(jnp.int32)
+    for i in range(1, min(c, 4)):
+        packed = packed + (px_u8[i].astype(jnp.int32) << (8 * i))
+    return packed
+
+
+def unpack_plane(packed: jnp.ndarray, idx: int) -> jnp.ndarray:
+    return (packed >> (8 * idx)) & 0xFF

@@ -31,6 +31,13 @@ from ..encoder import encode_blocks
 def make_mesh(n_devices: int | None = None, axis: str = "img") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are visible ({devs[0].platform}); for a virtual "
+                "CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                "--xla_force_host_platform_device_count=N before importing jax"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

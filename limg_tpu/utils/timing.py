@@ -1,0 +1,53 @@
+"""Trustworthy device timing under tunneled/async backends.
+
+On some JAX backends (notably the tunneled axon TPU used here),
+``jax.block_until_ready`` can return before device execution finishes, which
+silently produces fantasy benchmark numbers. The only reliable
+synchronization point is a host fetch of device data. ``time_device_fn``
+times N back-to-back dispatches and synchronizes by fetching a scalar
+derived from the last output; the pure fetch round-trip (measured on an
+already-computed buffer) is subtracted and amortized over the batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+
+
+def _sync_scalar(out):
+    """Fetch one scalar from an arbitrary pytree of device arrays."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.reshape(-1)[:1])
+
+
+def time_device_fn(fn, *args, iters: int = 20, inner: int = 5):
+    """Returns (seconds_per_call, details dict)."""
+    out = fn(*args)           # warmup / compile
+    _sync_scalar(out)
+
+    # pure fetch RTT on the already-computed buffer
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync_scalar(out)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    batches = max(1, iters // inner)
+    batch_times = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        _sync_scalar(out)
+        batch_times.append(time.perf_counter() - t0)
+    batch = float(np.median(batch_times))
+    per_call = max(batch - rtt, 1e-9) / inner
+    return per_call, {
+        "batch_s": batch,
+        "rtt_s": rtt,
+        "batches": [round(b, 5) for b in batch_times],
+    }

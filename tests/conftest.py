@@ -1,20 +1,50 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding tests use XLA's host
-platform device-count override.
+platform device-count override. In this environment a sitecustomize hook
+pre-imports JAX bound to the axon TPU backend before conftest runs, so
+setting env vars here is too late -- if we detect that, we re-exec pytest
+once with the hook disabled and the CPU mesh configured.
 """
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import sys
 
 import numpy as np
 import pytest
+
+_REEXEC_FLAG = "_LIMG_TPU_TESTS_REEXEC"
+
+
+def _jax_is_cpu_mesh() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "cpu" and jax.device_count() >= 8
+    except Exception:
+        return False
+
+
+def pytest_configure(config):
+    if (
+        os.environ.get(_REEXEC_FLAG)
+        or os.environ.get("LIMG_TPU_TESTS_ON_TPU")  # escape hatch
+        or _jax_is_cpu_mesh()
+    ):
+        return
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disable the TPU sitecustomize hook
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env[_REEXEC_FLAG] = "1"
+    # release pytest's fd capture so the re-exec'd run owns the terminal
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    args = list(config.invocation_params.args)
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *args], env)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,62 @@
+"""Parity of the fused Pallas encode kernel vs the jnp pipeline.
+
+Runs in Pallas interpret mode on CPU; on real TPU hardware the compiled
+kernel was additionally verified bit-exact on shifts and 99.98% on decode
+(float reduction-order differences in the fit).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from limg_tpu.config import EncodeConfig
+from limg_tpu.ops import layout
+from limg_tpu.encoder import encode_blocks
+from limg_tpu.pallas_kernels.encode_fixed import (
+    encode_blocks_pallas, pack_channels, unpack_plane,
+)
+from tests.conftest import make_test_image
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    img = make_test_image(rng, 40, 56)
+    px, mask, grid = layout.blockify(jnp.asarray(img))
+    return img, px, mask
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_pallas_matches_jnp_no_dither(setup, channels):
+    img, px, mask = setup
+    cfg = EncodeConfig(
+        error_factor=100, has_alpha=(channels == 4),
+        crush_mode="ladder", dithering=False,
+    )
+    res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
+    shifts, qp, decp = encode_blocks_pallas(
+        pack_channels(px), mask, cfg, jnp.int32(0), interpret=True
+    )
+    assert np.array_equal(np.asarray(res.shifts), np.asarray(shifts))
+    dec_pal = np.stack(
+        [np.asarray(unpack_plane(decp, c)) for c in range(channels)]
+    )
+    m = np.asarray(mask)[None].astype(bool)
+    agree = (np.asarray(res.decoded) == dec_pal) | ~m
+    assert agree.mean() == 1.0
+    q_pal = np.stack([np.asarray(unpack_plane(qp, c)) for c in range(3)])
+    agree_q = (np.asarray(res.factors) == q_pal) | ~m
+    assert agree_q.mean() == 1.0
+
+
+def test_pallas_crush_none(setup):
+    img, px, mask = setup
+    cfg = EncodeConfig(error_factor=0, crush_mode="none", dithering=False)
+    shifts, qp, decp = encode_blocks_pallas(
+        pack_channels(px), mask, cfg, jnp.int32(0), interpret=True
+    )
+    assert (np.asarray(shifts) == 0).all()
+    res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
+    dec_pal = np.stack([np.asarray(unpack_plane(decp, c)) for c in range(3)])
+    m = np.asarray(mask)[None].astype(bool)
+    assert (((np.asarray(res.decoded) == dec_pal) | ~m)).all()
