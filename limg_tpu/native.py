@@ -1,0 +1,186 @@
+"""ctypes bindings for the native host runtime (runtime/limg_runtime.cpp).
+
+Build with tools/build_runtime.sh (g++ -O2 -shared). Every entry point has a
+pure-Python/NumPy fallback so the package works without the shared library;
+``available()`` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "build", "liblimg_runtime.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.limg_rt_blockify_u32.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.limg_rt_unblockify_u32.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.limg_rt_write_tga_rgba.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.limg_rt_write_tga_rgba.restype = ctypes.c_int
+    lib.limg_rt_write_tga_gray.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.limg_rt_write_tga_gray.restype = ctypes.c_int
+    lib.limg_rt_read_tga.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.limg_rt_read_tga.restype = ctypes.c_int
+    lib.limg_rt_pool_new.argtypes = [ctypes.c_int]
+    lib.limg_rt_pool_new.restype = ctypes.c_void_p
+    lib.limg_rt_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.limg_rt_pool_stage_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.limg_rt_pool_await.argtypes = [ctypes.c_void_p]
+    lib.limg_rt_max_threads.restype = ctypes.c_int64
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def blockify_packed(image_rgba: np.ndarray):
+    """(H, W, 4) uint8 -> ((64, NB) uint32 packed, (64, NB) uint8 mask).
+
+    Native when the shared lib is built; NumPy otherwise. Layout matches
+    limg_tpu.ops.layout.blockify + pallas_kernels.pack_channels.
+    """
+    h, w = image_rgba.shape[:2]
+    by, bx = -(-h // 8), -(-w // 8)
+    nb = by * bx
+    img32 = np.ascontiguousarray(image_rgba).view(np.uint32).reshape(h, w)
+    lib = _lib()
+    packed = np.empty((64, nb), np.uint32)
+    mask = np.empty((64, nb), np.uint8)
+    if lib is not None:
+        lib.limg_rt_blockify_u32(
+            img32.ctypes.data, h, w, packed.ctypes.data, mask.ctypes.data
+        )
+        return packed, mask
+    # NumPy fallback
+    pad = np.zeros((by * 8, bx * 8), np.uint32)
+    pad[:h, :w] = img32
+    m = np.zeros((by * 8, bx * 8), np.uint8)
+    m[:h, :w] = 1
+    t = pad.reshape(by, 8, bx, 8).transpose(1, 3, 0, 2).reshape(64, nb)
+    tm = m.reshape(by, 8, bx, 8).transpose(1, 3, 0, 2).reshape(64, nb)
+    return t, tm
+
+
+def unblockify_packed(packed: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(64, NB) uint32 -> (H, W, 4) uint8."""
+    lib = _lib()
+    out = np.empty((h, w), np.uint32)
+    if lib is not None:
+        packed = np.ascontiguousarray(packed, np.uint32)
+        lib.limg_rt_unblockify_u32(packed.ctypes.data, h, w, out.ctypes.data)
+    else:
+        by, bx = -(-h // 8), -(-w // 8)
+        t = packed.reshape(8, 8, by, bx).transpose(2, 0, 3, 1).reshape(by * 8, bx * 8)
+        out = t[:h, :w].copy()
+    return out.view(np.uint8).reshape(h, w, 4)
+
+
+def write_tga(path: str, data: np.ndarray) -> None:
+    lib = _lib()
+    if lib is None:
+        from .io import write_tga as py_write
+
+        py_write(path, data)
+        return
+    data = np.ascontiguousarray(data)
+    h, w = data.shape[:2]
+    if data.ndim == 2:
+        rc = lib.limg_rt_write_tga_gray(path.encode(), data.ctypes.data, h, w)
+    else:
+        rgba = data.view(np.uint32).reshape(h, w)
+        rc = lib.limg_rt_write_tga_rgba(path.encode(), rgba.ctypes.data, h, w)
+    if rc != 0:
+        raise IOError(f"tga write failed: {rc}")
+
+
+def read_tga(path: str) -> np.ndarray:
+    lib = _lib()
+    if lib is None:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGBA"))
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    rc = lib.limg_rt_read_tga(path.encode(), None, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"tga probe failed: {rc}")
+    out = np.empty((h.value, w.value), np.uint32)
+    rc = lib.limg_rt_read_tga(path.encode(), out.ctypes.data, None, None)
+    if rc != 0:
+        raise IOError(f"tga read failed: {rc}")
+    return out.view(np.uint8).reshape(h.value, w.value, 4)
+
+
+class StagingPool:
+    """Native worker pool that decodes + blockifies a corpus of same-size
+    images into preallocated slots, overlapping host IO with device encode.
+    The TPU-era replacement for the reference's compute thread pool
+    (src/limg_threading.h:9-17)."""
+
+    def __init__(self, threads: int | None = None):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native runtime not built; run tools/build_runtime.sh")
+        self._lib = lib
+        n = threads or max(1, lib.limg_rt_max_threads())
+        self._pool = lib.limg_rt_pool_new(int(n))
+        self._keepalive = []
+
+    def stage(self, path: str, h: int, w: int):
+        """Queue a file; returns (packed, mask, status) arrays filled async.
+        status[0] becomes 1 on success, <0 on error."""
+        by, bx = -(-h // 8), -(-w // 8)
+        nb = by * bx
+        packed = np.empty((64, nb), np.uint32)
+        mask = np.empty((64, nb), np.uint8)
+        status = np.zeros(1, np.int32)
+        self._keepalive.append((packed, mask, status))
+        self._lib.limg_rt_pool_stage_file(
+            self._pool, path.encode(), packed.ctypes.data, mask.ctypes.data,
+            h, w, status.ctypes.data,
+        )
+        return packed, mask, status
+
+    def await_all(self):
+        self._lib.limg_rt_pool_await(self._pool)
+
+    def close(self):
+        if self._pool:
+            self._lib.limg_rt_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
