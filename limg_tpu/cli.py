@@ -40,7 +40,7 @@ def _hash_color(v: int) -> int:
 def _parse_args(argv):
     opts = dict(
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
-        count=1, files=[], source=None, list_mode=False,
+        count=1, files=[], source=None, list_mode=False, use_pallas=False,
     )
     if not argv:
         print(__doc__)
@@ -60,6 +60,8 @@ def _parse_args(argv):
             pass  # parity no-op
         elif a == "--fixed-grid":
             opts["fixed_grid"] = True
+        elif a == "--use-pallas":
+            opts["use_pallas"] = True
         elif a == "--error-factor":
             i += 1
             opts["error_factor"] = int(argv[i])
@@ -118,7 +120,7 @@ def main(argv=None):
     if opts["fixed_grid"]:
         out = encode_image(image, cfg)
     else:
-        out = encode_image_merged(image, cfg)
+        out = encode_image_merged(image, cfg, use_pallas=opts["use_pallas"])
     elapsed = time.perf_counter() - before
 
     print("limg_tpu encode completed.")
@@ -146,6 +148,9 @@ def main(argv=None):
             write_tga("limg_fac_b.tga", out["factors"][..., 1])
             write_tga("limg_fac_c.tga", out["factors"][..., 2])
         write_tga("limg_bpp.tga", out["bpp"].astype(np.uint8))
+        if "endpoint_planes" in out:
+            for name, plane in out["endpoint_planes"].items():
+                write_tga(f"limg_{name}.tga", plane)
         # shift plane as bit patterns (reference: src/limg.cpp:1596-1598)
         patt = np.array([0, 0x22, 0x44, 0x66, 0x88, 0xAA, 0xCC, 0xEE, 0xFF], np.uint8)
         sh = out["shift"]

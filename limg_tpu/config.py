@@ -54,7 +54,7 @@ class EncodeConfig:
     has_alpha: bool = False
     dithering: bool = True
     crush_mode: CrushMode = "ladder"
-    ladder_k: int = 12  # exact verifications per block in "ladder" mode
+    ladder_k: int = 8   # exact verifications per block in "ladder" mode
     dither_seed: int = 0xCA7F00D1  # reference dither PRNG seed flavor
     # Number of factor axes actually used (3 = A,B,C; 2 = A,B; 1 = A only).
     # Reduced-factor fast modes for flat/graphics content (BASELINE config 4);

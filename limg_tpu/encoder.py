@@ -137,6 +137,26 @@ def encode_image(image, cfg: EncodeConfig, seed: int = 0):
     bpp_plane = layout.broadcast_block_plane(res.bpp_block, grid)  # (H, W)
     psnr, mse = weighted_psnr(image, decoded, cfg.channels)
 
+    # endpoint-color visualization planes (reference writes these as RGBA
+    # images with a +0x80 bias on the B/C offsets; src/limg.cpp:1609-1617)
+    d = res.decomposition
+
+    def color_plane(vals, bias=0):
+        v = jnp.clip(vals + bias, 0, 255).astype(jnp.uint8)        # (ch, NB)
+        img_p = layout.broadcast_block_plane(v, grid)              # (ch, H, W)
+        rgba = jnp.full((4, *img_p.shape[1:]), 0xFF, jnp.uint8)
+        rgba = rgba.at[: v.shape[0]].set(img_p)
+        return np.asarray(rgba.transpose(1, 2, 0))
+
+    endpoint_planes = {
+        "col_a_min": color_plane(d.dirA_min),
+        "col_a_max": color_plane(d.dirA_max),
+        "col_b_min": color_plane(d.dirB_offset, 0x80),
+        "col_b_max": color_plane(d.dirB_mag, 0x80),
+        "col_c_min": color_plane(d.dirC_offset, 0x80),
+        "col_c_max": color_plane(d.dirC_mag, 0x80),
+    }
+
     total_px = image.shape[0] * image.shape[1]
     return dict(
         decoded=np.asarray(decoded),
@@ -153,6 +173,7 @@ def encode_image(image, cfg: EncodeConfig, seed: int = 0):
             "colCMin": np.asarray(res.decomposition.dirC_offset),
             "colCMax": np.asarray(res.decomposition.dirC_mag),
         },
+        endpoint_planes=endpoint_planes,
         psnr=float(psnr),
         mse=float(mse),
         mean_bpp=float(np.asarray(bpp_plane).mean()),

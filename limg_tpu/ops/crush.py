@@ -140,14 +140,16 @@ def find_shifts_guess(px, mask_i, f8, d, count, cfg: EncodeConfig):
 
 
 def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
-    """Additive-model ranking + exact top-K verification.
+    """Additive-model ranking over a boxed lattice + exact top-K verify.
 
     Stage 1: 27 exact evaluations -- each axis alone at shifts 0..8 (other
-    axes unquantized). Stage 2: additive approximation of block error over
-    the full 9^3 lattice on per-block scalars; rank by (approx-admissible,
-    total shift, -approx error) packed into one int32 key. Stage 3: exact
-    verification of the per-block top-K candidates (+ guaranteed (0,0,0)
-    fallback if none verifies).
+    axes unquantized). Stage 2: per axis, ``base_k`` = the largest shift that
+    is admissible with the other axes unquantized; by error monotonicity no
+    admissible joint triple exceeds base_k on axis k, so candidates are the
+    4^3 box ``s_k = max(base_k - o_k, 0), o_k in {0..3}``. The additive
+    block-error model ranks the 64 candidates by (approx-admissible, total
+    shift, -approx error) in one int32 key. Stage 3: exact verification of
+    the top-K; (0,0,0) if none verifies.
     """
     channels = px.shape[0]
     nb = px.shape[-1]
@@ -169,36 +171,41 @@ def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
         blk_axis.append(jnp.stack(blk_s))
     err0 = blk_axis[0][0]                  # error at (0,0,0)
     pix0 = pix_axis[0][0]
-
-    # Stage 2: additive model + ranking key.
     d_blk = [b - b[0][None] for b in blk_axis]   # (9, NB) deltas
     d_pix = [p - p[0][None] for p in pix_axis]
-    approx_blk = (
-        err0[None, None, None]
-        + d_blk[0][:, None, None]
-        + d_blk[1][None, :, None]
-        + d_blk[2][None, None, :]
-    )  # (9, 9, 9, NB)
-    approx_pix = (
-        pix0[None, None, None]
-        + d_pix[0][:, None, None]
-        + d_pix[1][None, :, None]
-        + d_pix[2][None, None, :]
-    )
-    adm = _admissible(approx_pix, approx_blk, count, cfg).astype(jnp.int32)
-    totals = jnp.asarray(
-        np.arange(9)[:, None, None] + np.arange(9)[None, :, None] + np.arange(9)[None, None, :],
-        jnp.int32,
-    )
-    err_packed = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
-    key = (adm << 30) + (totals[..., None] << 25) + err_packed  # (9,9,9,NB)
-    key = key.reshape(729, nb).T                                # (NB, 729)
 
-    _, top_idx = lax.top_k(key, k)                              # (NB, K)
-    # Decode lattice index -> triple; evaluate worst-ranked first so that the
-    # best-ranked candidate wins ties in the scan.
+    # Stage 2: per-axis base + boxed candidates.
+    s_iota = jnp.arange(9, dtype=jnp.int32)[:, None]
+    base = []
+    for axis in range(3):
+        adm_ax = _admissible(pix_axis[axis], blk_axis[axis], count[None], cfg)
+        base.append(jnp.max(jnp.where(adm_ax, s_iota, 0), axis=0))  # (NB,)
+
+    # candidate shifts per axis and offset: (4, NB)
+    offs = jnp.arange(4, dtype=jnp.int32)[:, None]
+    s_cand = [jnp.maximum(b[None] - offs, 0) for b in base]
+    d_blk_at = [jnp.take_along_axis(d_blk[ax], s_cand[ax], axis=0) for ax in range(3)]
+    d_pix_at = [jnp.take_along_axis(d_pix[ax], s_cand[ax], axis=0) for ax in range(3)]
+
+    def lattice(vals):
+        return (
+            vals[0][:, None, None] + vals[1][None, :, None] + vals[2][None, None, :]
+        ).reshape(64, nb)
+
+    approx_blk = err0[None] + lattice(d_blk_at)
+    approx_pix = pix0[None] + lattice(d_pix_at)
+    totals = lattice(s_cand)
+    adm = _admissible(approx_pix, approx_blk, count[None], cfg).astype(jnp.int32)
+    err_packed = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
+    key = (adm << 30) + (totals << 25) + err_packed             # (64, NB)
+
+    _, top_idx = lax.top_k(key.T, k)                            # (NB, K)
+    # evaluate worst-ranked first so the best-ranked wins ties in the scan
     top_idx = top_idx[:, ::-1].T                                # (K, NB)
-    cand = jnp.stack([top_idx // 81, (top_idx // 9) % 9, top_idx % 9], axis=1).astype(jnp.int32)
+    o = [top_idx // 16, (top_idx // 4) % 4, top_idx % 4]
+    cand = jnp.stack(
+        [jnp.maximum(base[ax][None] - o[ax], 0) for ax in range(3)], axis=1
+    ).astype(jnp.int32)                                         # (K, 3, NB)
     return _scan_candidates(px, mask_i, f8, d, count, cfg, cand)
 
 

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import BLOCK_SIZE, EncodeConfig
+from .config import BLOCK_SIZE, EncodeConfig, static_block_bits
 from .ops import layout
 from .ops.fit import Decomposition
 from .ops.match import match_decomps
@@ -96,31 +96,73 @@ def _owner_level(alive, grids, num_levels: int):
     return owner  # (NB0,)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_levels"))
+def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key):
+    """One dense level through the fused Pallas kernel. Returns the same
+    fields encode_blocks provides that the merged path needs."""
+    from .pallas_kernels.encode_fixed import (
+        encode_blocks_pallas, pack_channels, unpack_plane,
+    )
+
+    ch = cfg.channels
+    px, mask, grid = layout.blockify(image, bsz)
+    packed = pack_channels(px)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+    outs = encode_blocks_pallas(packed, mask, cfg, seed, emit_endpoints=True)
+    shifts, q_packed, dec_packed = outs[:3]
+    d = Decomposition(
+        avg=outs[3].astype(jnp.float32),  # avg unused by match/decode params
+        dirA_min=outs[3], dirA_max=outs[4],
+        dirB_offset=outs[5], dirB_mag=outs[6],
+        dirC_offset=outs[7], dirC_mag=outs[8],
+    )
+    # avg for the match predicate: midpoint of the A endpoints is not the
+    # true mean; recompute cheaply from the source pixels
+    src = jnp.stack([unpack_plane(packed, c) for c in range(ch)]).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    avg = (src * m[None]).sum(axis=1) / jnp.maximum(m.sum(axis=0), 1.0)
+    d = d._replace(avg=avg)
+    decoded = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
+    q = jnp.stack([unpack_plane(q_packed, c) for c in range(3)])
+    count = mask.astype(jnp.int32).sum(axis=0)
+    s_eff = jnp.minimum(shifts, 8)
+    block_bits = static_block_bits(ch) + ((8 - s_eff) * count[None]).sum(axis=0)
+    bpp_block = jnp.minimum(0xFF, (block_bits + count // 2) // count)
+    return grid, d, shifts, q, decoded, bpp_block, mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_levels", "use_pallas"))
 def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
-                               dither_key: jax.Array, num_levels: int = 3):
+                               dither_key: jax.Array, num_levels: int = 3,
+                               use_pallas: bool = False):
     """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
 
-    num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels.
+    num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
+    every level through the fused kernel (TPU fast path).
     """
     ch = cfg.channels
     h, w = image.shape[:2]
     keys = jax.random.split(dither_key, num_levels)
 
-    grids, results, decomps = [], [], []
+    grids, decomps = [], []
     dec_imgs, fac_imgs, shift_imgs, bpp_imgs = [], [], [], []
     for lvl in range(num_levels):
         bsz = BLOCK_SIZE << lvl
-        px, mask, grid = layout.blockify(image, bsz)
-        res = encode_blocks(px, mask, cfg, keys[lvl])
+        if use_pallas:
+            grid, d, shifts, q, decoded_blocks, bpp_block, mask = (
+                _encode_level_pallas(image, bsz, cfg, keys[lvl])
+            )
+        else:
+            px, mask, grid = layout.blockify(image, bsz)
+            res = encode_blocks(px, mask, cfg, keys[lvl])
+            d, shifts, q = res.decomposition, res.shifts, res.factors
+            decoded_blocks, bpp_block = res.decoded, res.bpp_block
         grids.append(grid)
-        results.append(res)
-        decomps.append(res.decomposition)
-        dec_imgs.append(layout.unblockify(res.decoded.astype(jnp.uint8), grid, bsz))
-        f_shifted = (res.factors << jnp.minimum(res.shifts, 8)[:, None, :]) & 0xFF
+        decomps.append(d)
+        dec_imgs.append(layout.unblockify(decoded_blocks.astype(jnp.uint8), grid, bsz))
+        f_shifted = (q << jnp.minimum(shifts, 8)[:, None, :]) & 0xFF
         fac_imgs.append(layout.unblockify(f_shifted.astype(jnp.uint8), grid, bsz))
-        shift_imgs.append(layout.broadcast_block_plane(res.shifts, grid, bsz))
-        bpp_imgs.append(layout.broadcast_block_plane(res.bpp_block, grid, bsz))
+        shift_imgs.append(layout.broadcast_block_plane(shifts, grid, bsz))
+        bpp_imgs.append(layout.broadcast_block_plane(bpp_block, grid, bsz))
 
     alive, merge_stats = merge_levels_alive(decomps, grids, ch)
     owner_blocks = _owner_level(alive, grids, num_levels)          # (NB0,)
@@ -183,7 +225,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
 
 
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
-                        fetch_planes: bool = True):
+                        fetch_planes: bool = True, use_pallas: bool = False):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -193,7 +235,7 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     """
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
-    out = encode_image_merged_device(image, cfg, key, num_levels)
+    out = encode_image_merged_device(image, cfg, key, num_levels, use_pallas)
     psnr, mse = weighted_psnr(image, out["decoded"], cfg.channels)
     n = image.shape[0] * image.shape[1]
     mean_bpp = out["bpp"].astype(jnp.float32).mean()
