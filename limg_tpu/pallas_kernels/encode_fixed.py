@@ -1,16 +1,21 @@
-"""Fused Pallas TPU kernel: the whole fixed-grid block encode in VMEM.
+"""Fused Pallas TPU kernels: the whole block/region encode in VMEM.
 
-The jnp pipeline is HBM-bound: each of the ~39 bit-crush candidate
+The jnp pipeline is HBM-bound: each of the ~30 bit-crush candidate
 evaluations streams the factor planes and pixels from HBM and materializes
-(axes, ch, P, NB)-shaped intermediates. This kernel keeps one tile of blocks
-resident in VMEM across fit -> factor extraction -> ladder crush -> dither
--> integer decode, so HBM traffic collapses to one packed-u32 read of the
-pixels and small packed outputs.
+(axes, ch, P, NB)-shaped intermediates. These kernels keep one tile of
+blocks resident in VMEM across fit -> factor extraction -> ladder crush ->
+dither -> integer decode, so HBM traffic collapses to one packed-u32 read of
+the pixels and small packed outputs.
 
-Layout inside the kernel: every quantity is a 2-D (P, T) array (P = 64
-pixels in sublanes, T = lane tile of blocks) or a (1, T) per-block row;
+Layout inside a kernel: every quantity is a 2-D (P, T) array (P = pixels per
+region in sublanes, T = lane tile of regions) or a (1, T) per-region row;
 channels are unrolled into separate arrays. RGBA pixels arrive packed in one
 int32 word-plane; crushed factors and decoded pixels leave the same way.
+
+Region sizes P = 64 / 256 / 1024 cover the merged encoder's 8/16/32 px
+levels. P <= 256 runs as one mono-kernel; P = 1024 exceeds the 16 MB VMEM
+budget in one pass, so it runs as two kernels (fit+factors, then
+crush+dither+decode) with the packed factor planes round-tripping HBM once.
 
 Semantics match the jnp path / golden model (reference citations in
 limg_tpu/ops/*.py); the crush search is the same ladder: 27 exact per-axis
@@ -18,9 +23,9 @@ sweeps, additive-model ranking of a boxed 4^3 candidate lattice anchored at
 each axis's max axis-alone-admissible shift, then exact verification of the
 top-K candidates by peeling argmaxes of the ranking key.
 
-Measured on one TPU v5e chip: 5.2 ms per 4K image (~1.6 Gpx/s), ~230x the
-single-core CPU reference and ~14x the estimated 16-core baseline
-(BASELINE_MEASURED.md).
+Measured on one TPU v5e chip: 5.2 ms per 4K image (~1.6 Gpx/s) for the
+fixed grid, ~230x the single-core CPU reference and ~14x the estimated
+16-core baseline (BASELINE_MEASURED.md).
 """
 
 from __future__ import annotations
@@ -36,12 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EncodeConfig
 
-LANE_TILE = 256          # blocks per kernel instance at P=64
-# (region pixel count is now a call-site parameter; see _TILE_FOR_P)
-
-# lane tile per region pixel count: keep P*T (and the ~15 live f32/i32
-# temps) well inside the 16 MB VMEM budget
-_TILE_FOR_P = {64: 256, 256: 128, 1024: 64}
+# lane tile per region pixel count: keep P*T and the live temps inside the
+# 16 MB VMEM budget (lane tiles must be multiples of 128)
+_TILE_FOR_P = {64: 256, 256: 128, 1024: 128}
+_SPLIT_THRESHOLD_P = 1024   # split fit/crush into two kernels at this size
 
 # dequant multiplier (1 << s) + bit-replication bias, s = 0..8
 _MULT = (1, 2, 4, 8, 17, 36, 85, 255, 0)
@@ -50,20 +53,6 @@ _MULT = (1, 2, 4, 8, 17, 36, 85, 255, 0)
 def _unpack_channels(packed, channels):
     """(P, T) int32 packed RGBA -> list of (P, T) int32 channel planes."""
     return [(packed >> (8 * c)) & 0xFF for c in range(channels)]
-
-
-def _weighted_err(d, channels):
-    """Weighted squared error from per-channel int32 diffs (list of (P,T))."""
-    d2 = [x * x for x in d]
-    red_lo = d2[0] < 0x4000
-    w0 = jnp.where(red_lo, 2, 3)
-    err = d2[0] * w0 + d2[1] * 4
-    if channels >= 3:
-        w2 = jnp.where(red_lo, 3, 2)
-        err = err + d2[2] * w2
-    if channels == 4:
-        err = err + d2[3] * 3
-    return err
 
 
 def _signed_unit_mean(vecs, mask, inv_count):
@@ -101,329 +90,360 @@ def _table_row(s, table):
     return out
 
 
-def _make_kernel(cfg: EncodeConfig, ladder_k: int, debug_stage: int = 99,
-                 emit_endpoints: bool = False):
-    assert not (emit_endpoints and debug_stage < 99)
+# ---------------------------------------------------------------------------
+# Shared kernel subroutines (pure functions of VMEM-resident arrays)
+# ---------------------------------------------------------------------------
+
+def _fit_and_factors(packed, mask_i, channels):
+    """Fit + factor extraction (ops/fit.py + ops/factors.py semantics).
+
+    Returns (f8 [3 x (P,T) i32], endpoints [6 lists of ch x (1,T) i32],
+    count (1,T) i32).
+    """
+    mask = mask_i.astype(jnp.float32)
+    px_i = _unpack_channels(packed, channels)
+    px = [p.astype(jnp.float32) for p in px_i]
+    count = jnp.sum(mask_i, axis=0, keepdims=True)
+    inv_count = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
+
+    avg = [jnp.sum(p * mask, axis=0, keepdims=True) * inv_count for p in px]
+    corrected = [(p - a) * mask for p, a in zip(px, avg)]
+    dir_a = _signed_unit_mean(corrected, mask, inv_count)
+
+    fac_a = _project_row(corrected, dir_a) * mask
+    est = [a + fac_a * d for a, d in zip(avg, dir_a)]
+    resid = [(p - e) * mask for p, e in zip(px, est)]
+    dir_b = _signed_unit_mean(resid, mask, inv_count)
+
+    if channels == 3:
+        dir_c = [
+            dir_a[1] * dir_b[2] - dir_a[2] * dir_b[1],
+            dir_a[2] * dir_b[0] - dir_a[0] * dir_b[2],
+            dir_a[0] * dir_b[1] - dir_a[1] * dir_b[0],
+        ]
+        fac_b = _project_row(resid, dir_b) * mask
+        est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
+        resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
+        fac_c = _project_row(resid_b, dir_c) * mask
+    else:
+        fac_b = _project_row(resid, dir_b) * mask
+        est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
+        resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
+        dir_c = _signed_unit_mean(resid_b, mask, inv_count)
+        fac_c = _project_row(resid_b, dir_c) * mask
+
+    big = jnp.float32(3.4e38)
+
+    def minmax(f):
+        mn = jnp.min(jnp.where(mask_i > 0, f, big), axis=0, keepdims=True)
+        mx = jnp.max(jnp.where(mask_i > 0, f, -big), axis=0, keepdims=True)
+        return mn, mx
+
+    mn_a, mx_a = minmax(fac_a)
+    mn_b, mx_b = minmax(fac_b)
+    mn_c, mx_c = minmax(fac_c)
+
+    flat = sum(d * d for d in dir_a) <= 0.0      # (1, T)
+
+    def z(v):
+        return jnp.where(flat, 0.0, v)
+
+    ia_min = [_fast_round_i32(a + mn_a * d) for a, d in zip(avg, dir_a)]
+    ia_max = [_fast_round_i32(a + mx_a * d) for a, d in zip(avg, dir_a)]
+    ib_off = [_fast_round_i32(z(mn_b * d)) for d in dir_b]
+    ib_mag = [_fast_round_i32(z(mx_b * d)) for d in dir_b]
+    ic_off = [_fast_round_i32(z(mn_c * d)) for d in dir_c]
+    ic_mag = [_fast_round_i32(z(mx_c * d)) for d in dir_c]
+
+    na = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ia_max, ia_min)]
+    nb = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ib_mag, ib_off)]
+    nc = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ic_mag, ic_off)]
+    min_a_f = [m.astype(jnp.float32) for m in ia_min]
+    off_b_f = [m.astype(jnp.float32) for m in ib_off]
+    off_c_f = [m.astype(jnp.float32) for m in ic_off]
+
+    va = [p - m for p, m in zip(px, min_a_f)]
+    fa = _project_row(va, na)
+    ea = [m + fa * n for m, n in zip(min_a_f, na)]
+    fb = _project_row([p - e - o for p, e, o in zip(px, ea, off_b_f)], nb)
+    eb = [e + fb * n for e, n in zip(ea, nb)]
+    fc = _project_row([p - e - o for p, e, o in zip(px, eb, off_c_f)], nc)
+
+    def q8(f):
+        # round-to-nearest like the jnp path's rint; half-up vs half-even
+        # is below the u8 quantization noise
+        return jnp.clip(jnp.floor(f * 255.0 + 0.5), 0.0, 255.0).astype(jnp.int32)
+
+    f8 = [q8(fa), q8(fb), q8(fc)]
+    endpoints = (ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag)
+    return f8, endpoints, count
+
+
+def _crush_dither_decode(packed, mask_i, f8, endpoints, count, cfg: EncodeConfig,
+                         ladder_k: int, seed_ref):
+    """Ladder crush + dither + final integer decode.
+
+    Returns (shifts [3 x (1,T)], q [3 x (P,T)], dec [ch x (P,T)]).
+    """
     channels = cfg.channels
     max_pix = cfg.max_pixel_bit_crush_error
     max_blk = cfg.max_block_bit_crush_error
     crush = cfg.crush_bits
     dither = cfg.dithering and crush
+    ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = endpoints
 
-    def _dbg_out(shifts_ref, q_ref, dec_ref, val):
-        shifts_ref[...] = jnp.zeros_like(shifts_ref)
-        q_ref[...] = val.astype(jnp.int32)
-        dec_ref[...] = val.astype(jnp.int32)
+    px_i = _unpack_channels(packed, channels)
+    n_int = [
+        [mx - mn for mx, mn in zip(ia_max, ia_min)],
+        [mx - mn for mx, mn in zip(ib_mag, ib_off)],
+        [mx - mn for mx, mn in zip(ic_mag, ic_off)],
+    ]
+    m_int = [ia_min, ib_off, ic_off]
 
-    def kernel(seed_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref):
-        mask_i = mask_ref[...]                       # (P, T) int32 0/1
-        mask = mask_i.astype(jnp.float32)
-        packed = packed_ref[...]
-        px_i = _unpack_channels(packed, channels)    # ch x (P, T) int32
-        px = [p.astype(jnp.float32) for p in px_i]
+    def decode_eval(s, q):
+        """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors -> decoded
+        channels ch x (P,T) int32.
 
-        count = jnp.sum(mask_i, axis=0, keepdims=True)         # (1, T)
-        cnt_f = count.astype(jnp.float32)
-        inv_count = 1.0 / jnp.maximum(cnt_f, 1.0)
+        Products run in f32: f_dec <= 255 and |normal| <= ~1500, so every
+        product is < 2^24 and exact -- int32 vector multiplies are far
+        slower on the VPU. The arithmetic >> 8 of a possibly negative
+        product is floor(x / 256), which jnp.floor reproduces exactly.
+        """
+        dec = [jnp.zeros_like(packed) for _ in range(channels)]
+        for k in range(3):
+            mult = _table_row(s[k], _MULT).astype(jnp.float32)
+            f_dec = q[k].astype(jnp.float32) * mult
+            dropped = s[k] > 7
+            for c in range(channels):
+                n_kc = jnp.where(dropped, 0, n_int[k][c]).astype(jnp.float32)
+                if k == 0:
+                    m_kc = m_int[k][c]
+                else:
+                    m_kc = jnp.where(dropped, 0, m_int[k][c])
+                contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
+                dec[c] = dec[c] + m_kc + contrib.astype(jnp.int32)
+        return [jnp.clip(d, 0, 255) for d in dec]
 
-        # ---- fit (ops/fit.py semantics) --------------------------------
-        avg = [jnp.sum(p * mask, axis=0, keepdims=True) * inv_count for p in px]
-        corrected = [(p - a) * mask for p, a in zip(px, avg)]
-        dir_a = _signed_unit_mean(corrected, mask, inv_count)
-
-        fac_a = _project_row(corrected, dir_a) * mask
-        est = [a + fac_a * d for a, d in zip(avg, dir_a)]
-        resid = [(p - e) * mask for p, e in zip(px, est)]
-        dir_b = _signed_unit_mean(resid, mask, inv_count)
-
-        if channels == 3:
-            dir_c = [
-                dir_a[1] * dir_b[2] - dir_a[2] * dir_b[1],
-                dir_a[2] * dir_b[0] - dir_a[0] * dir_b[2],
-                dir_a[0] * dir_b[1] - dir_a[1] * dir_b[0],
-            ]
-            fac_b = _project_row(resid, dir_b) * mask
-            est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
-            resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
-            fac_c = _project_row(resid_b, dir_c) * mask
-        else:
-            fac_b = _project_row(resid, dir_b) * mask
-            est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
-            resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
-            dir_c = _signed_unit_mean(resid_b, mask, inv_count)
-            fac_c = _project_row(resid_b, dir_c) * mask
-
-        big = jnp.float32(3.4e38)
-
-        def minmax(f):
-            mn = jnp.min(jnp.where(mask_i > 0, f, big), axis=0, keepdims=True)
-            mx = jnp.max(jnp.where(mask_i > 0, f, -big), axis=0, keepdims=True)
-            return mn, mx
-
-        if debug_stage <= 2:
-            _dbg_out(shifts_ref, q_ref, dec_ref, fac_c)
-            return
-
-        mn_a, mx_a = minmax(fac_a)
-        mn_b, mx_b = minmax(fac_b)
-        mn_c, mx_c = minmax(fac_c)
-
-        flat = sum(d * d for d in dir_a) <= 0.0      # (1, T)
-
-        def z(v):
-            return jnp.where(flat, 0.0, v)
-
-        ia_min = [_fast_round_i32(a + mn_a * d) for a, d in zip(avg, dir_a)]
-        ia_max = [_fast_round_i32(a + mx_a * d) for a, d in zip(avg, dir_a)]
-        ib_off = [_fast_round_i32(z(mn_b * d)) for d in dir_b]
-        ib_mag = [_fast_round_i32(z(mx_b * d)) for d in dir_b]
-        ic_off = [_fast_round_i32(z(mn_c * d)) for d in dir_c]
-        ic_mag = [_fast_round_i32(z(mx_c * d)) for d in dir_c]
-
-        # ---- factor extraction (ops/factors.py) ------------------------
-        na = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ia_max, ia_min)]
-        nb = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ib_mag, ib_off)]
-        nc = [(mx - mn).astype(jnp.float32) for mx, mn in zip(ic_mag, ic_off)]
-        min_a_f = [m.astype(jnp.float32) for m in ia_min]
-        off_b_f = [m.astype(jnp.float32) for m in ib_off]
-        off_c_f = [m.astype(jnp.float32) for m in ic_off]
-
-        va = [p - m for p, m in zip(px, min_a_f)]
-        fa = _project_row(va, na)
-        ea = [m + fa * n for m, n in zip(min_a_f, na)]
-        fb = _project_row([p - e - o for p, e, o in zip(px, ea, off_b_f)], nb)
-        eb = [e + fb * n for e, n in zip(ea, nb)]
-        fc = _project_row([p - e - o for p, e, o in zip(px, eb, off_c_f)], nc)
-
-        def q8(f):
-            scaled = f * 255.0
-            r = jnp.floor(scaled + 0.5)
-            # round-half-even not required: jnp path uses rint; the half-up
-            # difference is below the u8 quant noise and PSNR/bpp gated
-            return jnp.clip(r, 0.0, 255.0).astype(jnp.int32)
-
-        f8 = [q8(fa), q8(fb), q8(fc)]                # 3 x (P, T) int32
-        if debug_stage <= 3:
-            _dbg_out(shifts_ref, q_ref, dec_ref, f8[0] + f8[1] + f8[2])
-            return
-
-        # integer decode params per axis/channel
-        n_int = [
-            [mx - mn for mx, mn in zip(ia_max, ia_min)],
-            [mx - mn for mx, mn in zip(ib_mag, ib_off)],
-            [mx - mn for mx, mn in zip(ic_mag, ic_off)],
-        ]
-        m_int = [ia_min, ib_off, ic_off]
-
-        def decode_eval(s, q):
-            """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors ->
-            decoded channels ch x (P,T) int32.
-
-            Products are computed in f32: f_dec <= 255 and |normal| <= ~1500,
-            so every product is < 2^24 and exact in f32 -- int32 vector
-            multiplies are far slower on the VPU than f32. The arithmetic
-            >> 8 of a possibly negative product is floor(x / 256), which
-            jnp.floor reproduces exactly on integral f32 values.
-            """
-            dec = [jnp.zeros_like(packed) for _ in range(channels)]
-            for k in range(3):
-                mult = _table_row(s[k], _MULT).astype(jnp.float32)
-                f_dec = q[k].astype(jnp.float32) * mult
-                dropped = s[k] > 7
-                for c in range(channels):
-                    n_kc = jnp.where(dropped, 0, n_int[k][c]).astype(jnp.float32)
-                    if k == 0:
-                        m_kc = m_int[k][c]
-                    else:
-                        m_kc = jnp.where(dropped, 0, m_int[k][c])
-                    contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
-                    dec[c] = dec[c] + m_kc + contrib.astype(jnp.int32)
-            return [jnp.clip(d, 0, 255) for d in dec]
-
-        def crush_eval(s):
-            """s: 3 x (1,T) -> (pix_max, block_err), each (1,T) int32.
-
-            Per-pixel weighted error <= 255^2 * 12 < 2^20: exact in f32; the
-            block sum runs in int32 (adds are cheap, exactness preserved).
-            """
-            q = [f >> jnp.minimum(s[k], 8) for k, f in enumerate(f8)]
-            dec = decode_eval(s, q)
-            d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
-            d2 = [x * x for x in d_f]
-            red_lo = d2[0] < float(0x4000)
-            err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
-            if channels >= 3:
-                err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
-            if channels == 4:
-                err = err + d2[3] * 3.0
-            err_i = err.astype(jnp.int32) * mask_i
-            return (
-                jnp.max(err_i, axis=0, keepdims=True),
-                jnp.sum(err_i, axis=0, keepdims=True),
-            )
-
-        t = packed.shape[-1]
-        zero_row = jnp.zeros((1, t), jnp.int32)
-
-        if debug_stage <= 4:
-            pm, be = crush_eval([zero_row, zero_row, zero_row])
-            _dbg_out(shifts_ref, q_ref, dec_ref, pm + be + jnp.zeros_like(packed))
-            return
-
-        if crush:
-            # ---- 27 per-axis sweeps -------------------------------------
-            blk_ax = []
-            pix_ax = []
-            for axis in range(3):
-                blk_s = []
-                pix_s = []
-                for sv in range(9):
-                    s = [zero_row, zero_row, zero_row]
-                    s[axis] = jnp.full((1, t), sv, jnp.int32)
-                    pm, be = crush_eval(s)
-                    blk_s.append(be)
-                    pix_s.append(pm)
-                blk_ax.append(jnp.concatenate(blk_s, axis=0))   # (9, T)
-                pix_ax.append(jnp.concatenate(pix_s, axis=0))
-            err0 = blk_ax[0][0:1]
-            pix0 = pix_ax[0][0:1]
-            d_blk = [b - b[0:1] for b in blk_ax]
-            d_pix = [p - p[0:1] for p in pix_ax]
-
-            # ---- per-axis base + boxed 4^3 candidate lattice -------------
-            # base_k = largest axis-alone-admissible shift; by monotonicity
-            # no admissible joint triple exceeds it, so candidates are
-            # s_k = max(base_k - o_k, 0), o_k in {0..3}.
-            iota9 = lax.broadcasted_iota(jnp.int32, (9, t), 0)
-            base = []
-            for axis in range(3):
-                adm_ax = (pix_ax[axis] <= max_pix) & (
-                    blk_ax[axis] * 0x10 < max_blk * count
-                )
-                base.append(
-                    jnp.max(jnp.where(adm_ax, iota9, 0), axis=0, keepdims=True)
-                )                                               # (1, T)
-
-            def gather9(rows, s_row):
-                """rows: (9, T); s_row: (1, T) -> (1, T) rows[s_row]."""
-                out = jnp.zeros_like(s_row)
-                for sv in range(9):
-                    out = jnp.where(s_row == sv, rows[sv:sv + 1], out)
-                return out
-
-            s_cand = [[jnp.maximum(base[ax] - o, 0) for o in range(4)]
-                      for ax in range(3)]                       # [3][4] x (1,T)
-            db_at = [jnp.concatenate([gather9(d_blk[ax], s) for s in s_cand[ax]], axis=0)
-                     for ax in range(3)]                        # (4, T) each
-            dp_at = [jnp.concatenate([gather9(d_pix[ax], s) for s in s_cand[ax]], axis=0)
-                     for ax in range(3)]
-            sv_at = [jnp.concatenate(s_cand[ax], axis=0) for ax in range(3)]
-
-            def lattice(vals):
-                bc = (vals[1][:, None, :] + vals[2][None, :, :]).reshape(16, t)
-                return (vals[0][:, None, :] + bc[None, :, :]).reshape(64, t)
-
-            approx_blk = err0 + lattice(db_at)
-            approx_pix = pix0 + lattice(dp_at)
-            totals = lattice(sv_at)
-            adm = (
-                (approx_pix <= max_pix) & (approx_blk * 0x10 < max_blk * count)
-            ).astype(jnp.int32)
-            err_pack = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
-            key = (adm << 30) + (totals << 25) + err_pack       # (64, T)
-            iota64 = lax.broadcasted_iota(jnp.int32, (64, t), 0)
-
-            def round_body(_, carry):
-                key, bs0, bs1, bs2, b_tot, b_err = carry
-                m = jnp.max(key, axis=0, keepdims=True)
-                idx = jnp.min(
-                    jnp.where(key == m, iota64, 64), axis=0, keepdims=True
-                )                                               # (1, T)
-                sa = jnp.maximum(base[0] - idx // 16, 0)
-                sb = jnp.maximum(base[1] - (idx // 4) % 4, 0)
-                sc = jnp.maximum(base[2] - idx % 4, 0)
-                pm, be = crush_eval([sa, sb, sc])
-                ok = (pm <= max_pix) & (be * 0x10 < max_blk * count)
-                total = sa + sb + sc
-                take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
-                bs0 = jnp.where(take, sa, bs0)
-                bs1 = jnp.where(take, sb, bs1)
-                bs2 = jnp.where(take, sc, bs2)
-                b_tot = jnp.where(take, total, b_tot)
-                b_err = jnp.where(take, be, b_err)
-                key = jnp.where(iota64 == idx, -(2**31) + 1, key)
-                return key, bs0, bs1, bs2, b_tot, b_err
-
-            if debug_stage <= 5:
-                _dbg_out(shifts_ref, q_ref, dec_ref, key[:64] + jnp.zeros_like(packed))
-                return
-            init = (
-                key,
-                zero_row, zero_row, zero_row,
-                jnp.full((1, t), -1, jnp.int32),
-                jnp.full((1, t), 2**31 - 1, jnp.int32),
-            )
-            _, s0, s1, s2, _, _ = lax.fori_loop(0, ladder_k, round_body, init)
-            shifts = [s0, s1, s2]
-        else:
-            shifts = [zero_row, zero_row, zero_row]
-
-        # ---- dither + crush (ops/dither.py) -----------------------------
-        if dither:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-            q = []
-            for k in range(3):
-                s = shifts[k]
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(packed.shape), jnp.uint32
-                ).astype(jnp.int32)
-                live = (s > 0) & (s < 8)
-                noise = jnp.where(
-                    live,
-                    (bits & ((1 << s) - 1)) - (1 << jnp.maximum(s - 1, 0)),
-                    0,
-                )
-                q.append(jnp.clip(f8[k] + noise, 0, 255) >> jnp.minimum(s, 8))
-        else:
-            q = [f >> jnp.minimum(shifts[k], 8) for k, f in enumerate(f8)]
-
-        # ---- final decode + packing -------------------------------------
-        dec = decode_eval(shifts, q)
-        packed_dec = dec[0] + (dec[1] << 8)
+    def crush_eval(s):
+        """s: 3 x (1,T) -> (pix_max, block_err), each (1,T) int32."""
+        q = [f >> jnp.minimum(s[k], 8) for k, f in enumerate(f8)]
+        dec = decode_eval(s, q)
+        d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
+        d2 = [x * x for x in d_f]
+        red_lo = d2[0] < float(0x4000)
+        err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
         if channels >= 3:
-            packed_dec = packed_dec + (dec[2] << 16)
+            err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
         if channels == 4:
-            packed_dec = packed_dec + (dec[3] << 24)
-        else:
-            packed_dec = packed_dec + jnp.int32(np.uint32(0xFF000000).view(np.int32))
+            err = err + d2[3] * 3.0
+        err_i = err.astype(jnp.int32) * mask_i
+        return (
+            jnp.max(err_i, axis=0, keepdims=True),
+            jnp.sum(err_i, axis=0, keepdims=True),
+        )
 
-        shifts_ref[...] = jnp.concatenate(shifts, axis=0)       # (3, T)
+    t = packed.shape[-1]
+    zero_row = jnp.zeros((1, t), jnp.int32)
+
+    if crush:
+        # ---- 27 per-axis sweeps -----------------------------------------
+        blk_ax = []
+        pix_ax = []
+        for axis in range(3):
+            blk_s = []
+            pix_s = []
+            for sv in range(9):
+                s = [zero_row, zero_row, zero_row]
+                s[axis] = jnp.full((1, t), sv, jnp.int32)
+                pm, be = crush_eval(s)
+                blk_s.append(be)
+                pix_s.append(pm)
+            blk_ax.append(jnp.concatenate(blk_s, axis=0))   # (9, T)
+            pix_ax.append(jnp.concatenate(pix_s, axis=0))
+        err0 = blk_ax[0][0:1]
+        pix0 = pix_ax[0][0:1]
+        d_blk = [b - b[0:1] for b in blk_ax]
+        d_pix = [p - p[0:1] for p in pix_ax]
+
+        # ---- per-axis base + boxed 4^3 candidate lattice -----------------
+        # base_k = largest axis-alone-admissible shift; by monotonicity no
+        # admissible joint triple exceeds it, so candidates are
+        # s_k = max(base_k - o_k, 0), o_k in {0..3}.
+        iota9 = lax.broadcasted_iota(jnp.int32, (9, t), 0)
+        base = []
+        for axis in range(3):
+            adm_ax = (pix_ax[axis] <= max_pix) & (
+                blk_ax[axis] * 0x10 < max_blk * count
+            )
+            base.append(
+                jnp.max(jnp.where(adm_ax, iota9, 0), axis=0, keepdims=True)
+            )                                               # (1, T)
+
+        def gather9(rows, s_row):
+            """rows: (9, T); s_row: (1, T) -> (1, T) rows[s_row]."""
+            out = jnp.zeros_like(s_row)
+            for sv in range(9):
+                out = jnp.where(s_row == sv, rows[sv:sv + 1], out)
+            return out
+
+        s_cand = [[jnp.maximum(base[ax] - o, 0) for o in range(4)]
+                  for ax in range(3)]                       # [3][4] x (1,T)
+        db_at = [jnp.concatenate([gather9(d_blk[ax], s) for s in s_cand[ax]], axis=0)
+                 for ax in range(3)]                        # (4, T) each
+        dp_at = [jnp.concatenate([gather9(d_pix[ax], s) for s in s_cand[ax]], axis=0)
+                 for ax in range(3)]
+        sv_at = [jnp.concatenate(s_cand[ax], axis=0) for ax in range(3)]
+
+        def lattice(vals):
+            bc = (vals[1][:, None, :] + vals[2][None, :, :]).reshape(16, t)
+            return (vals[0][:, None, :] + bc[None, :, :]).reshape(64, t)
+
+        approx_blk = err0 + lattice(db_at)
+        approx_pix = pix0 + lattice(dp_at)
+        totals = lattice(sv_at)
+        adm = (
+            (approx_pix <= max_pix) & (approx_blk * 0x10 < max_blk * count)
+        ).astype(jnp.int32)
+        err_pack = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
+        key = (adm << 30) + (totals << 25) + err_pack       # (64, T)
+        iota64 = lax.broadcasted_iota(jnp.int32, (64, t), 0)
+
+        def round_body(_, carry):
+            key, bs0, bs1, bs2, b_tot, b_err = carry
+            m = jnp.max(key, axis=0, keepdims=True)
+            idx = jnp.min(
+                jnp.where(key == m, iota64, 64), axis=0, keepdims=True
+            )                                               # (1, T)
+            sa = jnp.maximum(base[0] - idx // 16, 0)
+            sb = jnp.maximum(base[1] - (idx // 4) % 4, 0)
+            sc = jnp.maximum(base[2] - idx % 4, 0)
+            pm, be = crush_eval([sa, sb, sc])
+            ok = (pm <= max_pix) & (be * 0x10 < max_blk * count)
+            total = sa + sb + sc
+            take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
+            bs0 = jnp.where(take, sa, bs0)
+            bs1 = jnp.where(take, sb, bs1)
+            bs2 = jnp.where(take, sc, bs2)
+            b_tot = jnp.where(take, total, b_tot)
+            b_err = jnp.where(take, be, b_err)
+            key = jnp.where(iota64 == idx, -(2**31) + 1, key)
+            return key, bs0, bs1, bs2, b_tot, b_err
+
+        init = (
+            key,
+            zero_row, zero_row, zero_row,
+            jnp.full((1, t), -1, jnp.int32),
+            jnp.full((1, t), 2**31 - 1, jnp.int32),
+        )
+        _, s0, s1, s2, _, _ = lax.fori_loop(0, ladder_k, round_body, init)
+        shifts = [s0, s1, s2]
+    else:
+        shifts = [zero_row, zero_row, zero_row]
+
+    # ---- dither + crush (ops/dither.py) ----------------------------------
+    if dither:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        q = []
+        for k in range(3):
+            s = shifts[k]
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits(packed.shape), jnp.uint32
+            ).astype(jnp.int32)
+            live = (s > 0) & (s < 8)
+            noise = jnp.where(
+                live,
+                (bits & ((1 << s) - 1)) - (1 << jnp.maximum(s - 1, 0)),
+                0,
+            )
+            q.append(jnp.clip(f8[k] + noise, 0, 255) >> jnp.minimum(s, 8))
+    else:
+        q = [f >> jnp.minimum(shifts[k], 8) for k, f in enumerate(f8)]
+
+    dec = decode_eval(shifts, q)
+    return shifts, q, dec
+
+
+def _pack_dec(dec, channels):
+    packed_dec = dec[0] + (dec[1] << 8)
+    if channels >= 3:
+        packed_dec = packed_dec + (dec[2] << 16)
+    if channels == 4:
+        packed_dec = packed_dec + (dec[3] << 24)
+    else:
+        packed_dec = packed_dec + jnp.int32(np.uint32(0xFF000000).view(np.int32))
+    return packed_dec
+
+
+# ---------------------------------------------------------------------------
+# Kernel factories
+# ---------------------------------------------------------------------------
+
+def _make_mono_kernel(cfg: EncodeConfig, ladder_k: int, emit_endpoints: bool):
+    channels = cfg.channels
+
+    def kernel(seed_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref,
+               *ep_refs):
+        packed = packed_ref[...]
+        mask_i = mask_ref[...]
+        f8, endpoints, count = _fit_and_factors(packed, mask_i, channels)
+        shifts, q, dec = _crush_dither_decode(
+            packed, mask_i, f8, endpoints, count, cfg, ladder_k, seed_ref
+        )
+        shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
-        dec_ref[...] = packed_dec
+        dec_ref[...] = _pack_dec(dec, channels)
         if emit_endpoints:
-            for ref, rows in zip(
-                ep_refs, (ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag)
-            ):
-                ref[...] = jnp.concatenate(rows, axis=0)        # (ch, T)
+            for ref, rows in zip(ep_refs, endpoints):
+                ref[...] = jnp.concatenate(rows, axis=0)    # (ch, T)
 
-    if emit_endpoints:
-        def kernel_ep(seed_ref, packed_ref, mask_ref, shifts_ref, q_ref,
-                      dec_ref, *eps):
-            nonlocal ep_refs
-            ep_refs = eps
-            kernel(seed_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref)
+    return kernel
 
-        ep_refs = None
-        return kernel_ep
+
+def _make_fit_kernel(cfg: EncodeConfig):
+    channels = cfg.channels
+
+    def kernel(seed_ref, packed_ref, mask_ref, f8_ref, *ep_refs):
+        packed = packed_ref[...]
+        mask_i = mask_ref[...]
+        f8, endpoints, _ = _fit_and_factors(packed, mask_i, channels)
+        f8_ref[...] = f8[0] + (f8[1] << 8) + (f8[2] << 16)
+        for ref, rows in zip(ep_refs, endpoints):
+            ref[...] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def _make_crush_kernel(cfg: EncodeConfig, ladder_k: int):
+    channels = cfg.channels
+
+    def kernel(seed_ref, packed_ref, mask_ref, f8_ref, *rest):
+        ep_in = rest[:6]
+        shifts_ref, q_ref, dec_ref = rest[6:]
+        packed = packed_ref[...]
+        mask_i = mask_ref[...]
+        f8_packed = f8_ref[...]
+        f8 = [(f8_packed >> (8 * k)) & 0xFF for k in range(3)]
+        endpoints = tuple(
+            [ref[c:c + 1, :] for c in range(channels)] for ref in
+            (e[...] for e in ep_in)
+        )
+        count = jnp.sum(mask_i, axis=0, keepdims=True)
+        shifts, q, dec = _crush_dither_decode(
+            packed, mask_i, f8, endpoints, count, cfg, ladder_k, seed_ref
+        )
+        shifts_ref[...] = jnp.concatenate(shifts, axis=0)
+        q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
+        dec_ref[...] = _pack_dec(dec, channels)
+
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "debug_stage", "emit_endpoints")
+    jax.jit, static_argnames=("cfg", "interpret", "emit_endpoints")
 )
 def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
                          cfg: EncodeConfig, seed: jnp.ndarray,
-                         interpret: bool = False, debug_stage: int = 99,
+                         interpret: bool = False,
                          emit_endpoints: bool = False):
     """Fused block/region encode.
 
@@ -443,36 +463,64 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
     nbp = nb + pad
     grid = nbp // tile
     ch = cfg.channels
+    seed_arg = seed.reshape(1).astype(jnp.int32)
+    mask_i = mask.astype(jnp.int32)
 
-    kernel = _make_kernel(cfg, cfg.ladder_k, debug_stage, emit_endpoints)
-    out_shapes = [
-        jax.ShapeDtypeStruct((3, nbp), jnp.int32),
-        jax.ShapeDtypeStruct((p, nbp), jnp.int32),
-        jax.ShapeDtypeStruct((p, nbp), jnp.int32),
-    ]
-    out_specs = [
-        pl.BlockSpec((3, tile), lambda i, *_: (0, i)),
-        pl.BlockSpec((p, tile), lambda i, *_: (0, i)),
-        pl.BlockSpec((p, tile), lambda i, *_: (0, i)),
-    ]
-    if emit_endpoints:
-        out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
-        out_specs += [pl.BlockSpec((ch, tile), lambda i, *_: (0, i))] * 6
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((p, tile), lambda i, *_: (0, i)),
-            pl.BlockSpec((p, tile), lambda i, *_: (0, i)),
-        ],
-        out_specs=tuple(out_specs),
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=tuple(out_shapes),
-        interpret=interpret,
-    )(seed.reshape(1).astype(jnp.int32), packed_px, mask.astype(jnp.int32))
+    def spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i, *_: (0, i))
+
+    if p < _SPLIT_THRESHOLD_P:
+        kernel = _make_mono_kernel(cfg, cfg.ladder_k, emit_endpoints)
+        out_shapes = [
+            jax.ShapeDtypeStruct((3, nbp), jnp.int32),
+            jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+            jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+        ]
+        out_specs = [spec(3), spec(p), spec(p)]
+        if emit_endpoints:
+            out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
+            out_specs += [spec(ch)] * 6
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(grid,),
+                in_specs=[spec(p), spec(p)], out_specs=tuple(out_specs),
+            ),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(seed_arg, packed_px, mask_i)
+    else:
+        # two-pass path: fit+factors, then crush+dither+decode
+        fit_out = pl.pallas_call(
+            _make_fit_kernel(cfg),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(grid,),
+                in_specs=[spec(p), spec(p)],
+                out_specs=tuple([spec(p)] + [spec(ch)] * 6),
+            ),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((p, nbp), jnp.int32)]
+                + [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
+            ),
+            interpret=interpret,
+        )(seed_arg, packed_px, mask_i)
+        f8_packed, eps = fit_out[0], fit_out[1:]
+        crush_out = pl.pallas_call(
+            _make_crush_kernel(cfg, cfg.ladder_k),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(grid,),
+                in_specs=[spec(p), spec(p), spec(p)] + [spec(ch)] * 6,
+                out_specs=(spec(3), spec(p), spec(p)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((3, nbp), jnp.int32),
+                jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+                jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+            ),
+            interpret=interpret,
+        )(seed_arg, packed_px, mask_i, f8_packed, *eps)
+        outs = tuple(crush_out) + (tuple(eps) if emit_endpoints else ())
+
     if pad:
         outs = tuple(o[:, :nb] for o in outs)
     return outs

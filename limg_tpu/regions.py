@@ -130,21 +130,12 @@ def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key):
     return grid, d, shifts, q, decoded, bpp_block, mask
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_levels", "use_pallas"))
-def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
-                               dither_key: jax.Array, num_levels: int = 3,
-                               use_pallas: bool = False):
-    """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
-
-    num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
-    every level through the fused kernel (TPU fast path).
-    """
-    ch = cfg.channels
-    h, w = image.shape[:2]
+def encode_levels(image, cfg: EncodeConfig, dither_key, num_levels: int,
+                  use_pallas: bool):
+    """Dense per-level encode shared by the merged encoder and the
+    bitstream writer. Returns (grids, list of per-level dicts)."""
     keys = jax.random.split(dither_key, num_levels)
-
-    grids, decomps = [], []
-    dec_imgs, fac_imgs, shift_imgs, bpp_imgs = [], [], [], []
+    grids, levels = [], []
     for lvl in range(num_levels):
         bsz = BLOCK_SIZE << lvl
         if use_pallas:
@@ -157,12 +148,42 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
             d, shifts, q = res.decomposition, res.shifts, res.factors
             decoded_blocks, bpp_block = res.decoded, res.bpp_block
         grids.append(grid)
-        decomps.append(d)
-        dec_imgs.append(layout.unblockify(decoded_blocks.astype(jnp.uint8), grid, bsz))
-        f_shifted = (q << jnp.minimum(shifts, 8)[:, None, :]) & 0xFF
-        fac_imgs.append(layout.unblockify(f_shifted.astype(jnp.uint8), grid, bsz))
-        shift_imgs.append(layout.broadcast_block_plane(shifts, grid, bsz))
-        bpp_imgs.append(layout.broadcast_block_plane(bpp_block, grid, bsz))
+        levels.append(dict(
+            decomp=d, shifts=shifts, q=q, decoded=decoded_blocks,
+            bpp_block=bpp_block, mask=mask,
+        ))
+    return grids, levels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_levels", "use_pallas", "emit_planes")
+)
+def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
+                               dither_key: jax.Array, num_levels: int = 3,
+                               use_pallas: bool = False, emit_planes: bool = True):
+    """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
+
+    num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
+    every level through the fused kernel (TPU fast path). ``emit_planes=False``
+    skips the full-resolution debug planes (factors/shift/bpp/region-id) --
+    stats come from per-region reductions instead, which roughly halves the
+    merged encode's device time.
+    """
+    ch = cfg.channels
+    h, w = image.shape[:2]
+    grids, levels = encode_levels(image, cfg, dither_key, num_levels, use_pallas)
+    decomps = [lv["decomp"] for lv in levels]
+
+    dec_imgs, fac_imgs, shift_imgs, bpp_imgs = [], [], [], []
+    for lvl in range(num_levels):
+        bsz = BLOCK_SIZE << lvl
+        grid, lv = grids[lvl], levels[lvl]
+        dec_imgs.append(layout.unblockify(lv["decoded"].astype(jnp.uint8), grid, bsz))
+        if emit_planes:
+            f_shifted = (lv["q"] << jnp.minimum(lv["shifts"], 8)[:, None, :]) & 0xFF
+            fac_imgs.append(layout.unblockify(f_shifted.astype(jnp.uint8), grid, bsz))
+            shift_imgs.append(layout.broadcast_block_plane(lv["shifts"], grid, bsz))
+            bpp_imgs.append(layout.broadcast_block_plane(lv["bpp_block"], grid, bsz))
 
     alive, merge_stats = merge_levels_alive(decomps, grids, ch)
     owner_blocks = _owner_level(alive, grids, num_levels)          # (NB0,)
@@ -181,22 +202,6 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         return out
 
     decoded = select(dec_imgs, "hwc")                              # (H, W, ch)
-    factors = select(fac_imgs, "hwc")                              # (H, W, 3)
-    shifts = select(shift_imgs, "chw")                             # (3, H, W)
-    bpp = select(bpp_imgs, "hw")                                   # (H, W)
-
-    # region/block-index visualization plane (reference pBlockIndex,
-    # src/limg.h:43): unique id per owned region.
-    region_ids = []
-    offset = 0
-    for lvl in range(num_levels):
-        ids = layout.broadcast_block_plane(
-            offset + jnp.arange(grids[lvl].num_blocks, dtype=jnp.int32),
-            grids[lvl], BLOCK_SIZE << lvl,
-        )
-        region_ids.append(ids)
-        offset += grids[lvl].num_blocks
-    region_id = select(region_ids, "hw")
 
     if ch == 3:
         alpha = jnp.full((h, w, 1), 0xFF, jnp.uint8)
@@ -204,24 +209,58 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
     else:
         decoded4 = decoded
 
-    s_eff = jnp.minimum(shifts, 8)                                 # (3, H, W)
-    accum_bits = (8 - s_eff).sum(axis=(1, 2))
-    one_hot = s_eff[:, None] == jnp.arange(9).reshape(1, 9, 1, 1)
-    bits_histogram = one_hot.sum(axis=(2, 3))
+    # per-region stats via owned-region reductions (owned = alive here but
+    # parent not alive); no full-res planes needed
+    accum_bits = jnp.zeros((3,), jnp.int32)
+    bits_histogram = jnp.zeros((3, 9), jnp.int32)
+    bpp_weighted = jnp.zeros((), jnp.float32)
+    for lvl in range(num_levels):
+        own = alive[lvl]
+        if lvl + 1 < num_levels:
+            gy, gx = grids[lvl].blocks_y, grids[lvl].blocks_x
+            yy, xx = np.mgrid[0:gy, 0:gx]
+            parent = jnp.asarray(
+                ((yy >> 1) * grids[lvl + 1].blocks_x + (xx >> 1)).reshape(-1)
+            )
+            own = own & ~alive[lvl + 1][parent]
+        lv = levels[lvl]
+        count = lv["mask"].astype(jnp.int32).sum(axis=0)
+        own_i = own.astype(jnp.int32)
+        s_eff = jnp.minimum(lv["shifts"], 8)                      # (3, NB)
+        accum_bits = accum_bits + ((8 - s_eff) * (count * own_i)[None]).sum(axis=1)
+        one_hot = s_eff[:, None, :] == jnp.arange(9)[None, :, None]
+        bits_histogram = bits_histogram + (
+            one_hot * (count * own_i)[None, None, :]
+        ).sum(axis=2)
+        bpp_weighted = bpp_weighted + (
+            lv["bpp_block"].astype(jnp.float32) * count * own_i
+        ).sum()
 
     merged_counts = jnp.asarray([a.sum() for a in alive])
 
-    return dict(
+    out = dict(
         decoded=decoded4,
-        factors=factors,
-        shift=shifts,
-        bpp=bpp,
-        region_id=region_id,
         owner_px=owner_px,
         accum_bits=accum_bits,
         bits_histogram=bits_histogram,
         alive_counts=merged_counts,
+        mean_bpp=bpp_weighted / (h * w),
     )
+    if emit_planes:
+        out["factors"] = select(fac_imgs, "hwc")                   # (H, W, 3)
+        out["shift"] = select(shift_imgs, "chw")                   # (3, H, W)
+        out["bpp"] = select(bpp_imgs, "hw")                        # (H, W)
+        region_ids = []
+        offset = 0
+        for lvl in range(num_levels):
+            ids = layout.broadcast_block_plane(
+                offset + jnp.arange(grids[lvl].num_blocks, dtype=jnp.int32),
+                grids[lvl], BLOCK_SIZE << lvl,
+            )
+            region_ids.append(ids)
+            offset += grids[lvl].num_blocks
+        out["region_id"] = select(region_ids, "hw")
+    return out
 
 
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
@@ -235,10 +274,12 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     """
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
-    out = encode_image_merged_device(image, cfg, key, num_levels, use_pallas)
+    out = encode_image_merged_device(
+        image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes
+    )
     psnr, mse = weighted_psnr(image, out["decoded"], cfg.channels)
     n = image.shape[0] * image.shape[1]
-    mean_bpp = out["bpp"].astype(jnp.float32).mean()
+    mean_bpp = out["mean_bpp"]
 
     np_out = dict(
         decoded=np.asarray(out["decoded"]),

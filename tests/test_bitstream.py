@@ -1,0 +1,44 @@
+"""LTP1 bitstream: serialize -> parse -> decode must reproduce the
+in-memory encode exactly (the reference has no bitstream at all; this is a
+new capability, SURVEY.md section 0/5)."""
+
+import numpy as np
+import pytest
+
+from limg_tpu.config import EncodeConfig
+from limg_tpu.bitstream import serialize, deserialize, _pack_bits, _unpack_bits
+from limg_tpu.regions import encode_image_merged
+from limg_tpu.encoder import encode_image
+from tests.conftest import make_test_image
+
+
+def test_pack_unpack_bits(rng):
+    for width in range(1, 9):
+        vals = rng.integers(0, 1 << width, 1000).astype(np.uint8)
+        packed = _pack_bits(vals, width)
+        assert len(packed) == -(-1000 * width // 8)
+        assert np.array_equal(_unpack_bits(packed, 1000, width), vals)
+
+
+@pytest.mark.parametrize("num_levels", [1, 3])
+def test_roundtrip_exact(rng, num_levels):
+    img = make_test_image(rng, 48, 72)
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    blob = serialize(img, cfg, seed=0, num_levels=num_levels)
+    dec, info = deserialize(blob)
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels)
+    assert np.array_equal(dec, ref["decoded"])
+    assert info["levels"] == num_levels
+    assert info["real_bpp"] < 32  # always beats raw RGBA
+
+
+def test_stream_smaller_at_higher_error_factor(rng):
+    img = make_test_image(rng, 48, 72)
+    lo = serialize(img, EncodeConfig(error_factor=50), seed=0)
+    hi = serialize(img, EncodeConfig(error_factor=400), seed=0)
+    assert len(hi) < len(lo)
+
+
+def test_reject_garbage():
+    with pytest.raises(ValueError):
+        deserialize(b"NOPE" + b"\x00" * 100)
