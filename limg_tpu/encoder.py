@@ -108,6 +108,48 @@ def _assemble_decoded(decoded_blocks: jnp.ndarray, image: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_image_device_pallas(image: jnp.ndarray, cfg: EncodeConfig,
+                                dither_key: jax.Array):
+    """Fused-kernel variant of encode_image_device with the same outputs."""
+    from .pallas_kernels.encode_fixed import (
+        encode_blocks_pallas, pack_channels, unpack_plane,
+    )
+    from .ops.fit import Decomposition
+
+    ch = cfg.channels
+    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+    packed = pack_channels(px)
+    seed = jax.random.randint(dither_key, (), 0, 2**31 - 1, jnp.int32)
+    outs = encode_blocks_pallas(packed, mask, cfg, seed, emit_endpoints=True)
+    shifts, q_packed, dec_packed = outs[:3]
+    q = jnp.stack([unpack_plane(q_packed, c) for c in range(3)])
+    decoded_blocks = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
+    src = jnp.stack([unpack_plane(packed, c) for c in range(ch)]).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    avg = (src * m[None]).sum(axis=1) / jnp.maximum(m.sum(axis=0), 1.0)
+    d = Decomposition(
+        avg=avg,
+        dirA_min=outs[3], dirA_max=outs[4],
+        dirB_offset=outs[5], dirB_mag=outs[6],
+        dirC_offset=outs[7], dirC_mag=outs[8],
+    )
+    count = mask.astype(jnp.int32).sum(axis=0)
+    s_eff = jnp.minimum(shifts, 8)
+    bits_each = (8 - s_eff) * count[None]
+    accum_bits = bits_each.sum(axis=1)
+    one_hot = s_eff[:, None, :] == jnp.arange(9)[None, :, None]
+    bits_histogram = (one_hot * count[None, None, :]).sum(axis=2)
+    block_bits = static_block_bits(ch) + bits_each.sum(axis=0)
+    bpp_block = jnp.minimum(0xFF, (block_bits + count // 2) // count)
+    res = EncodeResult(
+        decomposition=d, factors=q, shifts=shifts, decoded=decoded_blocks,
+        mask=mask, accum_bits=accum_bits, bits_histogram=bits_histogram,
+        bpp_block=bpp_block,
+    )
+    return _assemble_decoded(decoded_blocks, image, grid, cfg), res
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_perf_step(image: jnp.ndarray, cfg: EncodeConfig, dither_key: jax.Array):
     """Throughput-measurement variant (reference: limg_encode3d_test_perf,
     src/limg.cpp:2140-2327): runs the full pipeline but returns only a tiny
@@ -118,17 +160,21 @@ def encode_perf_step(image: jnp.ndarray, cfg: EncodeConfig, dither_key: jax.Arra
     return res.decoded.sum(), res.shifts.sum()
 
 
-def encode_image(image, cfg: EncodeConfig, seed: int = 0):
+def encode_image(image, cfg: EncodeConfig, seed: int = 0, use_pallas: bool = False):
     """Host-facing full encode. Returns a dict of planes + stats (NumPy).
 
     Output surface mirrors limg_encode3d_info (src/limg.h:29-33) plus the
     blocked-path extras (bits-per-pixel plane, src/limg.h:39-44).
+    ``use_pallas`` routes the compute through the fused kernel.
     """
     import numpy as np
 
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
-    decoded, res = encode_image_device(image, cfg, key)
+    if use_pallas:
+        decoded, res = _encode_image_device_pallas(image, cfg, key)
+    else:
+        decoded, res = encode_image_device(image, cfg, key)
     grid = layout.grid_for(image.shape[0], image.shape[1])
 
     f_shifted = (res.factors << jnp.minimum(res.shifts, 8)[:, None, :]) & 0xFF

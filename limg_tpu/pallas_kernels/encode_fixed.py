@@ -40,6 +40,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EncodeConfig
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelSpec:
+    """Static kernel shape: everything else (error thresholds) is traced, so
+    changing error_factor does not recompile."""
+
+    channels: int
+    crush: bool
+    dither: bool
+    ladder_k: int
+
+    @classmethod
+    def from_config(cls, cfg: EncodeConfig) -> "KernelSpec":
+        return cls(
+            channels=cfg.channels,
+            crush=cfg.crush_bits,
+            dither=cfg.dithering and cfg.crush_bits,
+            ladder_k=cfg.ladder_k,
+        )
 
 # lane tile per region pixel count: keep P*T and the live temps inside the
 # 16 MB VMEM budget (lane tiles must be multiples of 128)
@@ -179,17 +200,21 @@ def _fit_and_factors(packed, mask_i, channels):
     return f8, endpoints, count
 
 
-def _crush_dither_decode(packed, mask_i, f8, endpoints, count, cfg: EncodeConfig,
-                         ladder_k: int, seed_ref):
+def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
+                         params_ref):
     """Ladder crush + dither + final integer decode.
 
+    params_ref (scalar-prefetch, int32[3]): [dither seed,
+    maxPixelBitCrushError, maxBlockBitCrushError] -- the thresholds are
+    traced so changing error_factor does not recompile the kernel.
     Returns (shifts [3 x (1,T)], q [3 x (P,T)], dec [ch x (P,T)]).
     """
-    channels = cfg.channels
-    max_pix = cfg.max_pixel_bit_crush_error
-    max_blk = cfg.max_block_bit_crush_error
-    crush = cfg.crush_bits
-    dither = cfg.dithering and crush
+    channels = spec.channels
+    max_pix = params_ref[1]
+    max_blk = params_ref[2]
+    crush = spec.crush
+    dither = spec.dither
+    ladder_k = spec.ladder_k
     ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = endpoints
 
     px_i = _unpack_channels(packed, channels)
@@ -342,7 +367,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, cfg: EncodeConfig
 
     # ---- dither + crush (ops/dither.py) ----------------------------------
     if dither:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(params_ref[0] + pl.program_id(0))
         q = []
         for k in range(3):
             s = shifts[k]
@@ -378,16 +403,16 @@ def _pack_dec(dec, channels):
 # Kernel factories
 # ---------------------------------------------------------------------------
 
-def _make_mono_kernel(cfg: EncodeConfig, ladder_k: int, emit_endpoints: bool):
-    channels = cfg.channels
+def _make_mono_kernel(spec: KernelSpec, emit_endpoints: bool):
+    channels = spec.channels
 
-    def kernel(seed_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref,
+    def kernel(params_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref,
                *ep_refs):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         f8, endpoints, count = _fit_and_factors(packed, mask_i, channels)
         shifts, q, dec = _crush_dither_decode(
-            packed, mask_i, f8, endpoints, count, cfg, ladder_k, seed_ref
+            packed, mask_i, f8, endpoints, count, spec, params_ref
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
@@ -399,10 +424,10 @@ def _make_mono_kernel(cfg: EncodeConfig, ladder_k: int, emit_endpoints: bool):
     return kernel
 
 
-def _make_fit_kernel(cfg: EncodeConfig):
-    channels = cfg.channels
+def _make_fit_kernel(spec: KernelSpec):
+    channels = spec.channels
 
-    def kernel(seed_ref, packed_ref, mask_ref, f8_ref, *ep_refs):
+    def kernel(params_ref, packed_ref, mask_ref, f8_ref, *ep_refs):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         f8, endpoints, _ = _fit_and_factors(packed, mask_i, channels)
@@ -413,10 +438,10 @@ def _make_fit_kernel(cfg: EncodeConfig):
     return kernel
 
 
-def _make_crush_kernel(cfg: EncodeConfig, ladder_k: int):
-    channels = cfg.channels
+def _make_crush_kernel(spec: KernelSpec):
+    channels = spec.channels
 
-    def kernel(seed_ref, packed_ref, mask_ref, f8_ref, *rest):
+    def kernel(params_ref, packed_ref, mask_ref, f8_ref, *rest):
         ep_in = rest[:6]
         shifts_ref, q_ref, dec_ref = rest[6:]
         packed = packed_ref[...]
@@ -429,7 +454,7 @@ def _make_crush_kernel(cfg: EncodeConfig, ladder_k: int):
         )
         count = jnp.sum(mask_i, axis=0, keepdims=True)
         shifts, q, dec = _crush_dither_decode(
-            packed, mask_i, f8, endpoints, count, cfg, ladder_k, seed_ref
+            packed, mask_i, f8, endpoints, count, spec, params_ref
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
@@ -438,9 +463,6 @@ def _make_crush_kernel(cfg: EncodeConfig, ladder_k: int):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "emit_endpoints")
-)
 def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
                          cfg: EncodeConfig, seed: jnp.ndarray,
                          interpret: bool = False,
@@ -451,8 +473,30 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
     region for 8/16/32 px squares); mask: (P, NB) bool; seed: () int32.
     Returns (shifts (3, NB) i32, q_packed (P, NB) i32, decoded_packed
     (P, NB) i32[, endpoints 6 x (ch, NB) i32 when emit_endpoints]).
-    NB is padded to the lane tile internally.
+    NB is padded to the lane tile internally. The error thresholds travel
+    as traced scalars, so changing error_factor reuses the compiled kernel.
     """
+    kspec = KernelSpec.from_config(cfg)
+    params = jnp.stack([
+        seed.astype(jnp.int32).reshape(()),
+        jnp.int32(cfg.max_pixel_bit_crush_error),
+        jnp.int32(cfg.max_block_bit_crush_error),
+    ])
+    # Mosaic only targets TPU; fall back to the interpreter on CPU so the
+    # pallas-backed APIs stay testable on the virtual CPU mesh. (The
+    # tunneled TPU backend reports its own platform name, so test for cpu
+    # explicitly rather than for tpu.)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _encode_blocks_pallas_impl(
+        packed_px, mask, params, kspec, interpret, emit_endpoints
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kspec", "interpret", "emit_endpoints")
+)
+def _encode_blocks_pallas_impl(packed_px, mask, params, kspec: KernelSpec,
+                               interpret: bool, emit_endpoints: bool):
     p = packed_px.shape[0]
     tile = _TILE_FOR_P[p]
     nb = packed_px.shape[-1]
@@ -462,15 +506,15 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
     nbp = nb + pad
     grid = nbp // tile
-    ch = cfg.channels
-    seed_arg = seed.reshape(1).astype(jnp.int32)
+    ch = kspec.channels
+    seed_arg = params
     mask_i = mask.astype(jnp.int32)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i, *_: (0, i))
 
     if p < _SPLIT_THRESHOLD_P:
-        kernel = _make_mono_kernel(cfg, cfg.ladder_k, emit_endpoints)
+        kernel = _make_mono_kernel(kspec, emit_endpoints)
         out_shapes = [
             jax.ShapeDtypeStruct((3, nbp), jnp.int32),
             jax.ShapeDtypeStruct((p, nbp), jnp.int32),
@@ -492,7 +536,7 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
     else:
         # two-pass path: fit+factors, then crush+dither+decode
         fit_out = pl.pallas_call(
-            _make_fit_kernel(cfg),
+            _make_fit_kernel(kspec),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
                 in_specs=[spec(p), spec(p)],
@@ -506,7 +550,7 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
         )(seed_arg, packed_px, mask_i)
         f8_packed, eps = fit_out[0], fit_out[1:]
         crush_out = pl.pallas_call(
-            _make_crush_kernel(cfg, cfg.ladder_k),
+            _make_crush_kernel(kspec),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
                 in_specs=[spec(p), spec(p), spec(p)] + [spec(ch)] * 6,

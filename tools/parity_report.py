@@ -9,11 +9,14 @@ Usage: python tools/parity_report.py [--small] [--out PARITY_RESULTS.md]
 
 from __future__ import annotations
 
+import os
 import re
 import subprocess
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_reference(image_path: str, error_factor: int, fast: bool):
@@ -39,22 +42,42 @@ def main():
     Image.fromarray(img, "RGB").save("/tmp/parity_img.png")
     img4 = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
 
+    import jax
+    import jax.numpy as jnp
     from limg_tpu import EncodeConfig
-    from limg_tpu.encoder import encode_image
+    from limg_tpu.ops import layout
+    from limg_tpu.ops.error import weighted_error, max_possible_error
+    from limg_tpu.pallas_kernels.encode_fixed import (
+        encode_blocks_pallas, pack_channels, unpack_plane,
+    )
+
+    px, mask, grid = layout.blockify(jnp.asarray(img4))
+    packed = jax.device_put(pack_channels(px))
+    mask_d = jax.device_put(mask)
+    count = np.asarray(mask).sum(0)
+    n = img.shape[0] * img.shape[1]
+
+    def ours(cfg):
+        # thresholds are traced: every error factor reuses one kernel compile
+        shifts, qp, decp = encode_blocks_pallas(packed, mask_d, cfg, jnp.int32(0))
+        dec = jnp.stack([unpack_plane(decp, c) for c in range(3)])
+        src = jnp.stack([unpack_plane(packed, c) for c in range(3)])
+        err = (weighted_error(dec, src) * mask_d.astype(jnp.int32)).astype(jnp.float32).sum()
+        psnr = 10.0 * np.log10(max_possible_error(3) / (float(err) / n))
+        s = np.minimum(np.asarray(shifts), 8)
+        bits = ((8 - s) * count[None]).sum() / n
+        return psnr, bits
 
     rows = []
     for ef in (50, 100, 200, 400):
         ref_psnr, ref_bits = run_reference("/tmp/parity_img.png", ef, fast=True)
         ref_psnr_acc, ref_bits_acc = run_reference("/tmp/parity_img.png", ef, fast=False)
-        ours = encode_image(img4, EncodeConfig(error_factor=ef, crush_mode="ladder"))
-        ours_ex = encode_image(img4, EncodeConfig(error_factor=ef, crush_mode="exhaustive")) \
-            if small else None
         row = dict(
             ef=ef,
             ref_fast=(ref_psnr, ref_bits),
             ref_acc=(ref_psnr_acc, ref_bits_acc),
-            ladder=(ours["psnr"], ours["avg_block_bits"]),
-            exhaustive=(ours_ex["psnr"], ours_ex["avg_block_bits"]) if ours_ex else None,
+            ladder=ours(EncodeConfig(error_factor=ef, crush_mode="ladder")),
+            exhaustive=None,
         )
         rows.append(row)
         print(row, flush=True)
