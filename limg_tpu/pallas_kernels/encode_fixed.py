@@ -62,10 +62,52 @@ class KernelSpec:
             ladder_k=cfg.ladder_k,
         )
 
-# lane tile per region pixel count: keep P*T and the live temps inside the
-# 16 MB VMEM budget (lane tiles must be multiples of 128)
-_TILE_FOR_P = {64: 256, 256: 128, 1024: 128}
-_SPLIT_THRESHOLD_P = 1024   # split fit/crush into two kernels at this size
+# kernel geometry per region pixel count: (sublane pixels, lane chunks,
+# regions per tile). P = 1024 regions don't fit VMEM as 1024 sublanes, so
+# each region is split into `chunks` 256-pixel column groups laid out along
+# lanes; per-region reductions combine the chunks with lane rolls. Lane
+# width = chunks * regions_per_tile must be a multiple of 128.
+_GEOM_FOR_P = {64: (64, 1, 256), 256: (256, 1, 128), 1024: (256, 4, 32)}
+_SPLIT_THRESHOLD_P = 4096   # split fit/crush into two kernels at this size
+
+
+class _Reducer:
+    """Per-region reductions when a region spans `chunks` lane groups.
+
+    Arrays are (sub_p, chunks * T); region r's chunk c occupies lane
+    c * T + r. Reductions produce rows tiled back across all chunk groups so
+    downstream broadcasting code is chunk-agnostic.
+    """
+
+    def __init__(self, chunks: int, lanes: int):
+        self.chunks = chunks
+        self.t = lanes // chunks
+        self.lanes = lanes
+
+    def _combine(self, row, op):
+        if self.chunks == 1:
+            return row
+        acc = row
+        for k in range(1, self.chunks):
+            # left-roll by k*t expressed as a positive (right) roll
+            acc = op(acc, pltpu.roll(row, shift=self.lanes - k * self.t, axis=1))
+        # lanes [0, t) now hold the full per-region value; tile back
+        lane = lax.broadcasted_iota(jnp.int32, (1, self.lanes), 1)
+        out = acc
+        for k in range(1, self.chunks):
+            out = jnp.where(
+                lane // self.t == k, pltpu.roll(acc, shift=k * self.t, axis=1), out
+            )
+        return out
+
+    def sum(self, x):
+        return self._combine(jnp.sum(x, axis=0, keepdims=True), jnp.add)
+
+    def max(self, x):
+        return self._combine(jnp.max(x, axis=0, keepdims=True), jnp.maximum)
+
+    def min(self, x):
+        return self._combine(jnp.min(x, axis=0, keepdims=True), jnp.minimum)
 
 # dequant multiplier (1 << s) + bit-replication bias, s = 0..8
 _MULT = (1, 2, 4, 8, 17, 36, 85, 255, 0)
@@ -76,7 +118,7 @@ def _unpack_channels(packed, channels):
     return [(packed >> (8 * c)) & 0xFF for c in range(channels)]
 
 
-def _signed_unit_mean(vecs, mask, inv_count):
+def _signed_unit_mean(vecs, mask, inv_count, red: _Reducer):
     """vecs: list of ch (P,T) f32. Returns list of ch (1,T) f32 directions."""
     len_sq = sum(v * v for v in vecs)
     best = jnp.abs(vecs[0])
@@ -88,7 +130,7 @@ def _signed_unit_mean(vecs, mask, inv_count):
         lead = jnp.where(take, v, lead)
     inv_len = jnp.where(len_sq > 0, lax.rsqrt(jnp.maximum(len_sq, 1e-38)), 0.0)
     inv_len = jnp.where(lead < 0, -inv_len, inv_len) * mask
-    return [jnp.sum(v * inv_len, axis=0, keepdims=True) * inv_count for v in vecs]
+    return [red.sum(v * inv_len) * inv_count for v in vecs]
 
 
 def _project_row(vecs, direction):
@@ -115,7 +157,7 @@ def _table_row(s, table):
 # Shared kernel subroutines (pure functions of VMEM-resident arrays)
 # ---------------------------------------------------------------------------
 
-def _fit_and_factors(packed, mask_i, channels):
+def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
     """Fit + factor extraction (ops/fit.py + ops/factors.py semantics).
 
     Returns (f8 [3 x (P,T) i32], endpoints [6 lists of ch x (1,T) i32],
@@ -124,17 +166,17 @@ def _fit_and_factors(packed, mask_i, channels):
     mask = mask_i.astype(jnp.float32)
     px_i = _unpack_channels(packed, channels)
     px = [p.astype(jnp.float32) for p in px_i]
-    count = jnp.sum(mask_i, axis=0, keepdims=True)
+    count = red.sum(mask_i)
     inv_count = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
 
-    avg = [jnp.sum(p * mask, axis=0, keepdims=True) * inv_count for p in px]
+    avg = [red.sum(p * mask) * inv_count for p in px]
     corrected = [(p - a) * mask for p, a in zip(px, avg)]
-    dir_a = _signed_unit_mean(corrected, mask, inv_count)
+    dir_a = _signed_unit_mean(corrected, mask, inv_count, red)
 
     fac_a = _project_row(corrected, dir_a) * mask
     est = [a + fac_a * d for a, d in zip(avg, dir_a)]
     resid = [(p - e) * mask for p, e in zip(px, est)]
-    dir_b = _signed_unit_mean(resid, mask, inv_count)
+    dir_b = _signed_unit_mean(resid, mask, inv_count, red)
 
     if channels == 3:
         dir_c = [
@@ -150,14 +192,14 @@ def _fit_and_factors(packed, mask_i, channels):
         fac_b = _project_row(resid, dir_b) * mask
         est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
         resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
-        dir_c = _signed_unit_mean(resid_b, mask, inv_count)
+        dir_c = _signed_unit_mean(resid_b, mask, inv_count, red)
         fac_c = _project_row(resid_b, dir_c) * mask
 
     big = jnp.float32(3.4e38)
 
     def minmax(f):
-        mn = jnp.min(jnp.where(mask_i > 0, f, big), axis=0, keepdims=True)
-        mx = jnp.max(jnp.where(mask_i > 0, f, -big), axis=0, keepdims=True)
+        mn = red.min(jnp.where(mask_i > 0, f, big))
+        mx = red.max(jnp.where(mask_i > 0, f, -big))
         return mn, mx
 
     mn_a, mx_a = minmax(fac_a)
@@ -201,7 +243,7 @@ def _fit_and_factors(packed, mask_i, channels):
 
 
 def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
-                         params_ref):
+                         params_ref, red: _Reducer):
     """Ladder crush + dither + final integer decode.
 
     params_ref (scalar-prefetch, int32[3]): [dither seed,
@@ -262,10 +304,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         if channels == 4:
             err = err + d2[3] * 3.0
         err_i = err.astype(jnp.int32) * mask_i
-        return (
-            jnp.max(err_i, axis=0, keepdims=True),
-            jnp.sum(err_i, axis=0, keepdims=True),
-        )
+        return red.max(err_i), red.sum(err_i)
 
     t = packed.shape[-1]
     zero_row = jnp.zeros((1, t), jnp.int32)
@@ -403,16 +442,17 @@ def _pack_dec(dec, channels):
 # Kernel factories
 # ---------------------------------------------------------------------------
 
-def _make_mono_kernel(spec: KernelSpec, emit_endpoints: bool):
+def _make_mono_kernel(spec: KernelSpec, emit_endpoints: bool, chunks: int):
     channels = spec.channels
 
     def kernel(params_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref,
                *ep_refs):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
-        f8, endpoints, count = _fit_and_factors(packed, mask_i, channels)
+        red = _Reducer(chunks, packed.shape[-1])
+        f8, endpoints, count = _fit_and_factors(packed, mask_i, channels, red)
         shifts, q, dec = _crush_dither_decode(
-            packed, mask_i, f8, endpoints, count, spec, params_ref
+            packed, mask_i, f8, endpoints, count, spec, params_ref, red
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
@@ -424,13 +464,14 @@ def _make_mono_kernel(spec: KernelSpec, emit_endpoints: bool):
     return kernel
 
 
-def _make_fit_kernel(spec: KernelSpec):
+def _make_fit_kernel(spec: KernelSpec, chunks: int):
     channels = spec.channels
 
     def kernel(params_ref, packed_ref, mask_ref, f8_ref, *ep_refs):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
-        f8, endpoints, _ = _fit_and_factors(packed, mask_i, channels)
+        red = _Reducer(chunks, packed.shape[-1])
+        f8, endpoints, _ = _fit_and_factors(packed, mask_i, channels, red)
         f8_ref[...] = f8[0] + (f8[1] << 8) + (f8[2] << 16)
         for ref, rows in zip(ep_refs, endpoints):
             ref[...] = jnp.concatenate(rows, axis=0)
@@ -438,7 +479,7 @@ def _make_fit_kernel(spec: KernelSpec):
     return kernel
 
 
-def _make_crush_kernel(spec: KernelSpec):
+def _make_crush_kernel(spec: KernelSpec, chunks: int):
     channels = spec.channels
 
     def kernel(params_ref, packed_ref, mask_ref, f8_ref, *rest):
@@ -446,15 +487,16 @@ def _make_crush_kernel(spec: KernelSpec):
         shifts_ref, q_ref, dec_ref = rest[6:]
         packed = packed_ref[...]
         mask_i = mask_ref[...]
+        red = _Reducer(chunks, packed.shape[-1])
         f8_packed = f8_ref[...]
         f8 = [(f8_packed >> (8 * k)) & 0xFF for k in range(3)]
         endpoints = tuple(
             [ref[c:c + 1, :] for c in range(channels)] for ref in
             (e[...] for e in ep_in)
         )
-        count = jnp.sum(mask_i, axis=0, keepdims=True)
+        count = red.sum(mask_i)
         shifts, q, dec = _crush_dither_decode(
-            packed, mask_i, f8, endpoints, count, spec, params_ref
+            packed, mask_i, f8, endpoints, count, spec, params_ref, red
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
@@ -498,76 +540,113 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
 def _encode_blocks_pallas_impl(packed_px, mask, params, kspec: KernelSpec,
                                interpret: bool, emit_endpoints: bool):
     p = packed_px.shape[0]
-    tile = _TILE_FOR_P[p]
+    sub_p, chunks, treg = _GEOM_FOR_P[p]
+    lanes = chunks * treg
     nb = packed_px.shape[-1]
-    pad = (-nb) % tile
+    pad = (-nb) % treg
     if pad:
         packed_px = jnp.pad(packed_px, ((0, 0), (0, pad)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
     nbp = nb + pad
-    grid = nbp // tile
+    grid = nbp // treg
     ch = kspec.channels
     seed_arg = params
     mask_i = mask.astype(jnp.int32)
 
+    def to_chunked(x):
+        """(P, nbp) -> (sub_p, grid * lanes): region r's chunk c sits at
+        lane c * treg + (r % treg) within its grid tile."""
+        if chunks == 1:
+            return x
+        return (
+            x.reshape(chunks, sub_p, grid, treg)
+            .transpose(1, 2, 0, 3)
+            .reshape(sub_p, grid * lanes)
+        )
+
+    def from_chunked(x):
+        if chunks == 1:
+            return x
+        return (
+            x.reshape(sub_p, grid, chunks, treg)
+            .transpose(2, 0, 1, 3)
+            .reshape(p, nbp)
+        )
+
+    def rows_from_tiled(x):
+        """(rows, grid * lanes) tiled per-region rows -> (rows, nbp)."""
+        if chunks == 1:
+            return x
+        r = x.shape[0]
+        return x.reshape(r, grid, chunks, treg)[:, :, 0, :].reshape(r, nbp)
+
+    packed_k = to_chunked(packed_px)
+    mask_k = to_chunked(mask_i)
+
     def spec(rows):
-        return pl.BlockSpec((rows, tile), lambda i, *_: (0, i))
+        return pl.BlockSpec((rows, lanes), lambda i, *_: (0, i))
+
+    nlanes_total = grid * lanes
 
     if p < _SPLIT_THRESHOLD_P:
-        kernel = _make_mono_kernel(kspec, emit_endpoints)
+        kernel = _make_mono_kernel(kspec, emit_endpoints, chunks)
         out_shapes = [
-            jax.ShapeDtypeStruct((3, nbp), jnp.int32),
-            jax.ShapeDtypeStruct((p, nbp), jnp.int32),
-            jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+            jax.ShapeDtypeStruct((3, nlanes_total), jnp.int32),
+            jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
+            jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
         ]
-        out_specs = [spec(3), spec(p), spec(p)]
+        out_specs = [spec(3), spec(sub_p), spec(sub_p)]
         if emit_endpoints:
-            out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
+            out_shapes += [jax.ShapeDtypeStruct((ch, nlanes_total), jnp.int32)] * 6
             out_specs += [spec(ch)] * 6
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
-                in_specs=[spec(p), spec(p)], out_specs=tuple(out_specs),
+                in_specs=[spec(sub_p), spec(sub_p)], out_specs=tuple(out_specs),
             ),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(seed_arg, packed_px, mask_i)
+        )(seed_arg, packed_k, mask_k)
     else:
         # two-pass path: fit+factors, then crush+dither+decode
         fit_out = pl.pallas_call(
-            _make_fit_kernel(kspec),
+            _make_fit_kernel(kspec, chunks),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
-                in_specs=[spec(p), spec(p)],
-                out_specs=tuple([spec(p)] + [spec(ch)] * 6),
+                in_specs=[spec(sub_p), spec(sub_p)],
+                out_specs=tuple([spec(sub_p)] + [spec(ch)] * 6),
             ),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((p, nbp), jnp.int32)]
-                + [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
+                [jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32)]
+                + [jax.ShapeDtypeStruct((ch, nlanes_total), jnp.int32)] * 6
             ),
             interpret=interpret,
-        )(seed_arg, packed_px, mask_i)
+        )(seed_arg, packed_k, mask_k)
         f8_packed, eps = fit_out[0], fit_out[1:]
         crush_out = pl.pallas_call(
-            _make_crush_kernel(kspec),
+            _make_crush_kernel(kspec, chunks),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
-                in_specs=[spec(p), spec(p), spec(p)] + [spec(ch)] * 6,
-                out_specs=(spec(3), spec(p), spec(p)),
+                in_specs=[spec(sub_p), spec(sub_p), spec(sub_p)] + [spec(ch)] * 6,
+                out_specs=(spec(3), spec(sub_p), spec(sub_p)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((3, nbp), jnp.int32),
-                jax.ShapeDtypeStruct((p, nbp), jnp.int32),
-                jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+                jax.ShapeDtypeStruct((3, nlanes_total), jnp.int32),
+                jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
+                jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
             ),
             interpret=interpret,
-        )(seed_arg, packed_px, mask_i, f8_packed, *eps)
+        )(seed_arg, packed_k, mask_k, f8_packed, *eps)
         outs = tuple(crush_out) + (tuple(eps) if emit_endpoints else ())
 
+    shifts = rows_from_tiled(outs[0])
+    q_packed = from_chunked(outs[1])
+    dec_packed = from_chunked(outs[2])
+    result = [shifts, q_packed, dec_packed] + [rows_from_tiled(e) for e in outs[3:]]
     if pad:
-        outs = tuple(o[:, :nb] for o in outs)
-    return outs
+        result = [o[:, :nb] for o in result]
+    return tuple(result)
 
 
 def pack_channels(px_u8: jnp.ndarray) -> jnp.ndarray:

@@ -49,6 +49,30 @@ def test_pallas_matches_jnp_no_dither(setup, channels):
     assert agree_q.mean() == 1.0
 
 
+@pytest.mark.parametrize("bsz", [16, 32])
+def test_pallas_region_sizes_match_jnp(rng, bsz):
+    """P=256 (mono) and P=1024 (chunked lane-roll reductions) parity."""
+    img = make_test_image(rng, 64, 96)
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder", dithering=False)
+    px, mask, _ = layout.blockify(jnp.asarray(img), bsz)
+    res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
+    outs = encode_blocks_pallas(
+        pack_channels(px), mask, cfg, jnp.int32(0),
+        interpret=True, emit_endpoints=True,
+    )
+    shifts, qp, decp = outs[:3]
+    assert np.array_equal(np.asarray(res.shifts), np.asarray(shifts))
+    dec_pal = np.stack([np.asarray(unpack_plane(decp, c)) for c in range(3)])
+    m = np.asarray(mask)[None].astype(bool)
+    assert (((np.asarray(res.decoded) == dec_pal) | ~m)).all()
+    names = ["dirA_min", "dirA_max", "dirB_offset", "dirB_mag",
+             "dirC_offset", "dirC_mag"]
+    for n, e in zip(names, outs[3:]):
+        assert np.array_equal(
+            np.asarray(getattr(res.decomposition, n)), np.asarray(e)
+        ), n
+
+
 def test_pallas_crush_none(setup):
     img, px, mask = setup
     cfg = EncodeConfig(error_factor=0, crush_mode="none", dithering=False)
