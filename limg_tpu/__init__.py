@@ -14,12 +14,31 @@ from .config import EncodeConfig, BLOCK_SIZE
 from .encoder import encode_image, encode_image_device, encode_perf_step
 from .ops.error import psnr as compare_psnr
 
+
+def __getattr__(name):
+    # lazy heavyweight surfaces so `import limg_tpu` stays light
+    if name == "encode_image_merged":
+        from .regions import encode_image_merged
+        return encode_image_merged
+    if name == "encode_legacy":
+        from .legacy import encode_legacy
+        return encode_legacy
+    if name in ("serialize", "deserialize"):
+        from . import bitstream
+        return getattr(bitstream, name)
+    raise AttributeError(name)
+
+
 __all__ = [
     "EncodeConfig",
     "BLOCK_SIZE",
     "encode_image",
     "encode_image_device",
     "encode_perf_step",
+    "encode_image_merged",
+    "encode_legacy",
+    "serialize",
+    "deserialize",
     "compare_psnr",
 ]
 

@@ -517,6 +517,8 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
     (P, NB) i32[, endpoints 6 x (ch, NB) i32 when emit_endpoints]).
     NB is padded to the lane tile internally. The error thresholds travel
     as traced scalars, so changing error_factor reuses the compiled kernel.
+    Note: the kernel always runs the ladder search when crushing is enabled;
+    cfg.crush_mode "guess"/"exhaustive" are jnp-path-only granularities.
     """
     kspec = KernelSpec.from_config(cfg)
     params = jnp.stack([

@@ -93,20 +93,23 @@ def encode_corpus_sharded(images, cfg: EncodeConfig, n_devices: int | None = Non
 
 
 def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None = None,
-                                seed: int = 0):
+                                seed: int = 0, use_pallas: bool = False):
     """Single-image encode with the *block* axis sharded across chips.
 
     The block tensors' NB axis is laid out over the mesh; all encode stages
     are block-elementwise so the only communication is the stats reduction.
     NB must be divisible by the mesh size (guaranteed by padding in
-    blockify for typical sizes; asserts otherwise).
+    blockify for typical sizes; asserts otherwise). ``use_pallas`` runs the
+    fused kernel inside a shard_map so each chip encodes its block shard.
     """
     mesh = make_mesh(n_devices, axis="blk")
     image = jnp.asarray(image)
     px, mask, grid = layout.blockify(image, BLOCK_SIZE)
     nb = px.shape[-1]
     ndev = mesh.devices.size
-    pad = (-nb) % ndev
+    # pallas lane tiles want multiples of 256 blocks per shard
+    mult = ndev * (256 if use_pallas else 1)
+    pad = (-nb) % mult
     if pad:
         px = jnp.pad(px, ((0, 0), (0, 0), (0, pad)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
@@ -116,12 +119,42 @@ def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None 
     px = jax.device_put(px, sharding)
     mask = jax.device_put(mask, NamedSharding(mesh, P(None, "blk")))
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
-    def run(px, mask, cfg, key):
-        res = encode_blocks(px, mask, cfg, key)
-        src = px[: cfg.channels].astype(jnp.int32)
-        err = (weighted_error(res.decoded, src) * mask.astype(jnp.int32)).astype(jnp.float32).sum()
-        return res.decoded, res.shifts, err
+    if use_pallas:
+        from ..pallas_kernels.encode_fixed import (
+            encode_blocks_pallas, pack_channels, unpack_plane,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def run(px, mask, cfg, key):
+            ch = cfg.channels
+
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(None, None, "blk"), P(None, "blk")),
+                out_specs=(P(None, None, "blk"), P(None, "blk"), P()),
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )
+            def shard_fn(px_s, mask_s):
+                packed = pack_channels(px_s)
+                seed_s = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+                shifts, q_packed, dec_packed = encode_blocks_pallas(
+                    packed, mask_s, cfg, seed_s
+                )[:3]
+                dec = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
+                src = px_s[:ch].astype(jnp.int32)
+                err = (
+                    weighted_error(dec, src) * mask_s.astype(jnp.int32)
+                ).astype(jnp.float32).sum()
+                return dec, shifts, jax.lax.psum(err, "blk")
+
+            return shard_fn(px, mask)
+    else:
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def run(px, mask, cfg, key):
+            res = encode_blocks(px, mask, cfg, key)
+            src = px[: cfg.channels].astype(jnp.int32)
+            err = (weighted_error(res.decoded, src) * mask.astype(jnp.int32)).astype(jnp.float32).sum()
+            return res.decoded, res.shifts, err
 
     decoded, shifts, err = run(px, mask, cfg, key)
     n = grid.height * grid.width

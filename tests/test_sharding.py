@@ -32,3 +32,15 @@ def test_blocks_sharded_matches_unsharded(rng):
     assert np.array_equal(dec8, dec1)
     assert abs(psnr8 - psnr1) < 1e-6
     assert psnr8 > 25.0
+
+
+def test_blocks_sharded_pallas_kernel_in_shard_map(rng):
+    """The fused kernel composes with shard_map (interpret mode on the
+    virtual mesh); result must match the jnp sharded path."""
+    img = make_test_image(rng, 32, 64)
+    cfg = EncodeConfig(error_factor=100, crush_mode="none", dithering=False)
+    dec_p, psnr_p = encode_image_blocks_sharded(img, cfg, n_devices=8,
+                                                use_pallas=True)
+    dec_j, psnr_j = encode_image_blocks_sharded(img, cfg, n_devices=8)
+    assert np.array_equal(dec_p, dec_j)
+    assert abs(psnr_p - psnr_j) < 1e-6
