@@ -41,6 +41,7 @@ def _parse_args(argv):
     opts = dict(
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
         count=1, files=[], source=None, list_mode=False, use_pallas=False,
+        diagnose=False,
     )
     if not argv:
         print(__doc__)
@@ -62,6 +63,8 @@ def _parse_args(argv):
             opts["fixed_grid"] = True
         elif a == "--use-pallas":
             opts["use_pallas"] = True
+        elif a == "--diagnose":
+            opts["diagnose"] = True
         elif a == "--error-factor":
             i += 1
             opts["error_factor"] = int(argv[i])
@@ -135,6 +138,21 @@ def main(argv=None):
         "\nImage Perceptual RGB(A) PSNR: %4.2f dB (mean: %5.3f => %7.5f%% | sqrt: %5.3f%%)\n"
         % (out["psnr"], mean, mean / mx * 100.0, np.sqrt(mean) / np.sqrt(mx) * 100.0)
     )
+
+    if opts["diagnose"]:
+        # culprit breakdown (reference debug builds, src/limg.cpp:2412-2428)
+        import jax.numpy as jnp
+        from .ops import layout as _layout
+        from .ops.fit import fit_blocks
+        from .ops.factors import extract_factors, quantize_factors
+        from .ops.crush import find_shifts
+        from .utils.diagnostics import crush_culprits, format_culprits
+
+        px, mask, _ = _layout.blockify(jnp.asarray(image))
+        d = fit_blocks(px, mask, cfg.channels)
+        f8 = quantize_factors(*extract_factors(px, d, cfg.channels))
+        shifts, _ = find_shifts(px, mask, f8, d, cfg)
+        print(format_culprits(crush_culprits(px, mask, f8, d, shifts, cfg)))
 
     if opts["write_output"]:
         write_tga("limg_out.tga", out["decoded"])

@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import BLOCK_SIZE, EncodeConfig
+from .config import BLOCK_SIZE
 from .ops import layout
 from .ops.fit import _signed_unit_mean, _masked_minmax
 from .ops.error import psnr as weighted_psnr

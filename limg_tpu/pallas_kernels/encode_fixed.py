@@ -267,15 +267,47 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
     ]
     m_int = [ia_min, ib_off, ic_off]
 
-    def decode_eval(s, q):
-        """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors -> decoded
-        channels ch x (P,T) int32.
+    def axis_contrib(k, s_row):
+        """Axis k's decode contribution at shift s_row: ch x (P,T) int32.
 
         Products run in f32: f_dec <= 255 and |normal| <= ~1500, so every
         product is < 2^24 and exact -- int32 vector multiplies are far
         slower on the VPU. The arithmetic >> 8 of a possibly negative
         product is floor(x / 256), which jnp.floor reproduces exactly.
         """
+        q = f8[k] >> jnp.minimum(s_row, 8)
+        mult = _table_row(s_row, _MULT).astype(jnp.float32)
+        f_dec = q.astype(jnp.float32) * mult
+        dropped = s_row > 7
+        out = []
+        for c in range(channels):
+            n_kc = jnp.where(dropped, 0, n_int[k][c]).astype(jnp.float32)
+            if k == 0:
+                m_kc = m_int[k][c]
+            else:
+                m_kc = jnp.where(dropped, 0, m_int[k][c])
+            contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
+            out.append(m_kc + contrib.astype(jnp.int32))
+        return out
+
+    def err_from_est(est):
+        """Clamp + weighted error of summed contributions est (ch x (P,T))."""
+        dec = [jnp.clip(e, 0, 255) for e in est]
+        d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
+        d2 = [x * x for x in d_f]
+        red_lo = d2[0] < float(0x4000)
+        err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
+        if channels >= 3:
+            err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
+        if channels == 4:
+            err = err + d2[3] * 3.0
+        err_i = err.astype(jnp.int32) * mask_i
+        return red.max(err_i), red.sum(err_i)
+
+    def decode_eval(s, q):
+        """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors -> decoded
+        channels ch x (P,T) int32 (for the final decode; q may be dithered
+        so it can't reuse axis_contrib's internal requantization)."""
         dec = [jnp.zeros_like(packed) for _ in range(channels)]
         for k in range(3):
             mult = _table_row(s[k], _MULT).astype(jnp.float32)
@@ -293,24 +325,20 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
 
     def crush_eval(s):
         """s: 3 x (1,T) -> (pix_max, block_err), each (1,T) int32."""
-        q = [f >> jnp.minimum(s[k], 8) for k, f in enumerate(f8)]
-        dec = decode_eval(s, q)
-        d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
-        d2 = [x * x for x in d_f]
-        red_lo = d2[0] < float(0x4000)
-        err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
-        if channels >= 3:
-            err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
-        if channels == 4:
-            err = err + d2[3] * 3.0
-        err_i = err.astype(jnp.int32) * mask_i
-        return red.max(err_i), red.sum(err_i)
+        est = axis_contrib(0, s[0])
+        for k in (1, 2):
+            ck = axis_contrib(k, s[k])
+            est = [e + c for e, c in zip(est, ck)]
+        return err_from_est(est)
 
     t = packed.shape[-1]
     zero_row = jnp.zeros((1, t), jnp.int32)
 
     if crush:
-        # ---- 27 per-axis sweeps -----------------------------------------
+        # ---- 27 per-axis sweeps ------------------------------------------
+        # (The zero-shift contributions of the two idle axes are common
+        # subexpressions across the unrolled sweep; Mosaic CSEs them, and
+        # hoisting them manually measured *slower* -- extra live ranges.)
         blk_ax = []
         pix_ax = []
         for axis in range(3):
@@ -324,8 +352,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
                 pix_s.append(pm)
             blk_ax.append(jnp.concatenate(blk_s, axis=0))   # (9, T)
             pix_ax.append(jnp.concatenate(pix_s, axis=0))
-        err0 = blk_ax[0][0:1]
         pix0 = pix_ax[0][0:1]
+        err0 = blk_ax[0][0:1]
         d_blk = [b - b[0:1] for b in blk_ax]
         d_pix = [p - p[0:1] for p in pix_ax]
 

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EncodeConfig, static_block_bits
-from ..ops import layout
 from ..ops.error import max_possible_error, weighted_error
 from ..encoder import encode_blocks
 from ..pallas_kernels.encode_fixed import encode_blocks_pallas, unpack_plane

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EncodeConfig
-from .. import golden  # noqa: F401  (kept for doc cross-reference)
 
 
 def crush_culprits(px_u8, mask, f8_u8, decomp, shifts, cfg: EncodeConfig):
