@@ -41,7 +41,7 @@ def _parse_args(argv):
     opts = dict(
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
         count=1, files=[], source=None, list_mode=False, use_pallas=False,
-        diagnose=False,
+        diagnose=False, merge_policy="match",
     )
     if not argv:
         print(__doc__)
@@ -65,6 +65,8 @@ def _parse_args(argv):
             opts["use_pallas"] = True
         elif a == "--diagnose":
             opts["diagnose"] = True
+        elif a == "--rd-merge":
+            opts["merge_policy"] = "rd"
         elif a == "--error-factor":
             i += 1
             opts["error_factor"] = int(argv[i])
@@ -123,7 +125,8 @@ def main(argv=None):
     if opts["fixed_grid"]:
         out = encode_image(image, cfg)
     else:
-        out = encode_image_merged(image, cfg, use_pallas=opts["use_pallas"])
+        out = encode_image_merged(image, cfg, use_pallas=opts["use_pallas"],
+                                  merge_policy=opts["merge_policy"])
     elapsed = time.perf_counter() - before
 
     print("limg_tpu encode completed.")

@@ -148,19 +148,63 @@ def encode_levels(image, cfg: EncodeConfig, dither_key, num_levels: int,
             d, shifts, q = res.decomposition, res.shifts, res.factors
             decoded_blocks, bpp_block = res.decoded, res.bpp_block
         grids.append(grid)
+        count = mask.astype(jnp.int32).sum(axis=0)
+        s_eff = jnp.minimum(shifts, 8)
+        bits = static_block_bits(cfg.channels) + ((8 - s_eff) * count[None]).sum(axis=0)
+        src = px[: cfg.channels].astype(jnp.int32) if not use_pallas else None
+        if src is None:
+            from .pallas_kernels.encode_fixed import pack_channels, unpack_plane
+            packed = pack_channels(layout.blockify(image, bsz)[0])
+            src = jnp.stack(
+                [unpack_plane(packed, c) for c in range(cfg.channels)]
+            )
+        from .ops.error import weighted_error
+        dist = (
+            weighted_error(decoded_blocks.astype(jnp.int32), src)
+            * mask.astype(jnp.int32)
+        ).astype(jnp.float32).sum(axis=0)                       # (NB,)
         levels.append(dict(
             decomp=d, shifts=shifts, q=q, decoded=decoded_blocks,
-            bpp_block=bpp_block, mask=mask,
+            bpp_block=bpp_block, mask=mask, bits=bits, dist=dist,
         ))
     return grids, levels
 
 
+def rd_merge_keep(levels, grids, num_levels: int, lam: float):
+    """Rate-distortion-optimal quadtree cut (beyond-reference merge policy).
+
+    Bottom-up dynamic program: a region's cost is its own
+    bits + lam * weighted-squared-error; a parent is kept (merged) when its
+    cost beats the best achievable by its children's subtrees. Returns
+    keep[L] bool arrays compatible with _owner_level (a pixel is owned by
+    the highest kept ancestor).
+    """
+    cost0 = levels[0]["bits"].astype(jnp.float32) + lam * levels[0]["dist"]
+    best = [cost0]
+    keep = [jnp.ones_like(cost0, bool)]
+    for lvl in range(1, num_levels):
+        gy, gx = grids[lvl - 1].blocks_y, grids[lvl - 1].blocks_x
+        idx, valid = _child_indices(gy, gx)
+        idx = jnp.asarray(idx)
+        # out-of-range children contribute nothing
+        child_best = jnp.where(jnp.asarray(valid), best[lvl - 1][idx], 0.0).sum(axis=0)
+        own = levels[lvl]["bits"].astype(jnp.float32) + lam * levels[lvl]["dist"]
+        merged = jnp.asarray(valid.all(axis=0)) & (own <= child_best)
+        keep.append(merged)
+        best.append(jnp.where(merged, own, child_best))
+    return keep
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_levels", "use_pallas", "emit_planes")
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "use_pallas", "emit_planes",
+                     "merge_policy", "rd_lambda"),
 )
 def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
                                dither_key: jax.Array, num_levels: int = 3,
-                               use_pallas: bool = False, emit_planes: bool = True):
+                               use_pallas: bool = False, emit_planes: bool = True,
+                               merge_policy: str = "match",
+                               rd_lambda: float = 0.01):
     """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
 
     num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
@@ -185,7 +229,11 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
             shift_imgs.append(layout.broadcast_block_plane(lv["shifts"], grid, bsz))
             bpp_imgs.append(layout.broadcast_block_plane(lv["bpp_block"], grid, bsz))
 
-    alive, merge_stats = merge_levels_alive(decomps, grids, ch)
+    if merge_policy == "rd":
+        alive = rd_merge_keep(levels, grids, num_levels, rd_lambda)
+        merge_stats = []
+    else:
+        alive, merge_stats = merge_levels_alive(decomps, grids, ch)
     owner_blocks = _owner_level(alive, grids, num_levels)          # (NB0,)
     owner_px = layout.broadcast_block_plane(owner_blocks, grids[0], BLOCK_SIZE)
 
@@ -264,7 +312,8 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
 
 
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
-                        fetch_planes: bool = True, use_pallas: bool = False):
+                        fetch_planes: bool = True, use_pallas: bool = False,
+                        merge_policy: str = "match", rd_lambda: float = 0.01):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -275,7 +324,8 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
     out = encode_image_merged_device(
-        image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes
+        image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,
+        merge_policy=merge_policy, rd_lambda=rd_lambda,
     )
     psnr, mse = weighted_psnr(image, out["decoded"], cfg.channels)
     n = image.shape[0] * image.shape[1]

@@ -125,6 +125,18 @@ def test_merged_vs_fixed_tradeoff(rng):
     assert merged["psnr"] > 30.0
 
 
+def test_rd_merge_policy_dominates_match(rng):
+    """The rate-distortion cut (beyond-reference) must beat the reference's
+    similarity heuristic at its operating point: fewer bits at >= PSNR."""
+    img = make_test_image(rng, 64, 96)
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    match = encode_image_merged(img, cfg, fetch_planes=False)
+    rd = encode_image_merged(img, cfg, fetch_planes=False,
+                             merge_policy="rd", rd_lambda=0.01)
+    assert rd["mean_bpp"] <= match["mean_bpp"] + 1e-6
+    assert rd["psnr"] >= match["psnr"] - 0.25
+
+
 def test_merged_output_planes_shapes(rng):
     img = make_test_image(rng, 40, 56)  # ragged at all levels
     cfg = EncodeConfig(error_factor=100, crush_mode="guess")
