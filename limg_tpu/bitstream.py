@@ -5,9 +5,9 @@ The reference is a research harness with NO bitstream at all -- its
 append-blob prototype at src/limg_internal.h:96-144 shows a format was
 planned but never built. This module completes that capability:
 
-Format "LTP1" (little-endian):
+Format "LTP1" v2 (little-endian):
   magic    4s   b"LTP1"
-  version  u8   1
+  version  u8   2
   flags    u8   bit0 = has_alpha
   width    u32
   height   u32
@@ -16,7 +16,8 @@ Format "LTP1" (little-endian):
   owner    ceil(NB0/4) bytes: 2-bit owner level per 8x8 block, row-major
   per level L in 0..levels-1, for each region owned at L (row-major):
     shifts   u16: sA | sB<<4 | sC<<8  (0..8 each)
-    endpoints 6*ch i16: dirA_min/max, dirB_off/mag, dirC_off/mag per channel
+    endpoints 6*ch x 12-bit signed (value+2048), bit-packed LSB-first:
+              dirA_min/max, dirB_off/mag, dirC_off/mag per channel
     factors  bit-packed: for each axis with s<8, count*(8-s) bits of the
              crushed factors in row-major region pixel order (LSB-first)
 
@@ -39,23 +40,31 @@ from .ops.fit import Decomposition
 from .ops.decode import decode_blocks
 
 _MAGIC = b"LTP1"
+_VERSION = 2
+_EP_BITS = 12          # signed endpoint field width (value + 2048)
+_EP_BIAS = 2048
+
+
+def region_header_bits(channels: int) -> int:
+    """Real serialized per-region header cost (shift word + endpoints)."""
+    return 16 + 6 * channels * _EP_BITS
 
 
 def _pack_bits(values: np.ndarray, width: int) -> np.ndarray:
     """values (N,) uints -> bit-packed bytes, LSB-first within each value."""
     if width == 0 or values.size == 0:
         return np.zeros(0, np.uint8)
-    bits = (values[:, None].astype(np.uint16) >> np.arange(width)) & 1
+    bits = (values[:, None].astype(np.uint32) >> np.arange(width)) & 1
     return np.packbits(bits.astype(np.uint8).ravel(), bitorder="little")
 
 
 def _unpack_bits(data: np.ndarray, count: int, width: int) -> np.ndarray:
     """Inverse of _pack_bits: first `count` values of `width` bits each."""
     if width == 0 or count == 0:
-        return np.zeros(count, np.uint8)
+        return np.zeros(count, np.uint32)
     bits = np.unpackbits(data, count=count * width, bitorder="little")
-    vals = (bits.reshape(count, width) << np.arange(width)).sum(axis=1)
-    return vals.astype(np.uint8)
+    vals = (bits.reshape(count, width).astype(np.uint32) << np.arange(width)).sum(axis=1)
+    return vals.astype(np.uint32)
 
 
 def _region_pixel_counts(grid, bsz, h, w):
@@ -65,51 +74,53 @@ def _region_pixel_counts(grid, bsz, h, w):
     return (ys[:, None] * xs[None, :]).reshape(-1)
 
 
-def _owned_masks(alive, grids, num_levels):
-    """Per level: bool (NB_L,) -- region is final/owned at that level."""
-    owned = []
-    for lvl in range(num_levels):
-        own = np.asarray(alive[lvl]).copy()
-        if lvl + 1 < num_levels:
-            # not owned if the parent is alive
-            gy, gx = grids[lvl].blocks_y, grids[lvl].blocks_x
-            py = -(-gy // 2)
-            pgx = grids[lvl + 1].blocks_x
-            yy, xx = np.mgrid[0:gy, 0:gx]
-            parent = (yy >> 1) * pgx + (xx >> 1)
-            own &= ~np.asarray(alive[lvl + 1])[parent.reshape(-1)]
-        owned.append(own)
-    return owned
+def _owned_masks_from_owner(owner0: np.ndarray, grids, num_levels):
+    """Per level: bool (NB_L,) -- region is final/owned at that level.
+
+    Derived from the per-block owner map (works for both the nested match
+    policy and the non-nested RD cut)."""
+    by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
+    owner_grid = owner0.reshape(by0, bx0)
+    return [
+        (owner_grid[:: 1 << lvl, :: 1 << lvl] == lvl).reshape(-1)
+        for lvl in range(num_levels)
+    ]
 
 
 def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
-              use_pallas: bool = False) -> bytes:
+              use_pallas: bool = False, merge_policy: str = "match",
+              rd_lambda: float = 0.01) -> bytes:
     """Encode an (H, W, 4) uint8 image into an LTP1 blob."""
-    from .regions import encode_levels, merge_levels_alive
+    from .regions import encode_levels, merge_levels_alive, rd_merge_keep
 
     image = jnp.asarray(image)
     h, w = int(image.shape[0]), int(image.shape[1])
     ch = cfg.channels
     key = jax.random.PRNGKey(seed)
     grids, levels = encode_levels(image, cfg, key, num_levels, use_pallas)
-    if num_levels > 1:
+    if num_levels > 1 and merge_policy == "rd":
+        # optimize the *real* stream cost: swap the estimate's header for
+        # the serialized one
+        from .config import static_block_bits
+        extra = region_header_bits(ch) - static_block_bits(ch)
+        alive = rd_merge_keep(levels, grids, num_levels, rd_lambda, extra)
+    elif num_levels > 1:
         alive, _ = merge_levels_alive(
             [lv["decomp"] for lv in levels], grids, ch
         )
     else:
         alive = [jnp.ones((grids[0].num_blocks,), bool)]
-    owned = _owned_masks(alive, grids, num_levels)
-
-    # owner level per level-0 block
+    # owner level per level-0 block (highest kept ancestor wins)
     by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
     yy, xx = np.mgrid[0:by0, 0:bx0]
     owner0 = np.zeros(by0 * bx0, np.uint8)
     for lvl in range(1, num_levels):
         anc = (yy >> lvl) * grids[lvl].blocks_x + (xx >> lvl)
         owner0 = np.where(np.asarray(alive[lvl])[anc.reshape(-1)], lvl, owner0)
+    owned = _owned_masks_from_owner(owner0, grids, num_levels)
 
     out = bytearray()
-    out += struct.pack("<4sBBIIBH", _MAGIC, 1, int(cfg.has_alpha), w, h,
+    out += struct.pack("<4sBBIIBH", _MAGIC, _VERSION, int(cfg.has_alpha), w, h,
                        num_levels, cfg.error_factor & 0xFFFF)
     out += _pack_bits(owner0.astype(np.uint8), 2).tobytes()
 
@@ -127,8 +138,8 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
         for r in np.nonzero(owned[lvl])[0]:
             s = np.minimum(shifts[:, r], 8)
             out += struct.pack("<H", int(s[0]) | int(s[1]) << 4 | int(s[2]) << 8)
-            for e in eps:
-                out += e[:, r].tobytes()
+            ep_vals = np.concatenate([e[:, r].astype(np.int32) for e in eps])
+            out += _pack_bits((ep_vals + _EP_BIAS).astype(np.uint32), _EP_BITS).tobytes()
             valid = mask[:, r]
             assert valid.sum() == counts[r]
             for k in range(3):
@@ -143,8 +154,8 @@ def deserialize(blob: bytes):
 
     Returns ((H, W, 4) uint8 decoded image, info dict)."""
     magic, ver, flags, w, h, num_levels, ef = struct.unpack_from("<4sBBIIBH", blob, 0)
-    if magic != _MAGIC or ver != 1:
-        raise ValueError("not an LTP1 stream")
+    if magic != _MAGIC or ver != _VERSION:
+        raise ValueError("not an LTP1 v2 stream")
     has_alpha = bool(flags & 1)
     ch = 4 if has_alpha else 3
     off = struct.calcsize("<4sBBIIBH")
@@ -185,9 +196,13 @@ def deserialize(blob: bytes):
             off += 2
             s = [sword & 0xF, (sword >> 4) & 0xF, (sword >> 8) & 0xF]
             shifts[:, r] = s
-            for e in eps:
-                e[:, r] = np.frombuffer(blob, np.int16, ch, off)
-                off += 2 * ch
+            ep_bytes = -(-6 * ch * _EP_BITS // 8)
+            ep_vals = _unpack_bits(
+                np.frombuffer(blob, np.uint8, ep_bytes, off), 6 * ch, _EP_BITS
+            ).astype(np.int32) - _EP_BIAS
+            off += ep_bytes
+            for j, e in enumerate(eps):
+                e[:, r] = ep_vals[j * ch:(j + 1) * ch]
             valid = mask_np[:, r]
             n = int(counts[r])
             for k in range(3):

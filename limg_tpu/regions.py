@@ -170,25 +170,34 @@ def encode_levels(image, cfg: EncodeConfig, dither_key, num_levels: int,
     return grids, levels
 
 
-def rd_merge_keep(levels, grids, num_levels: int, lam: float):
+def rd_merge_keep(levels, grids, num_levels: int, lam: float,
+                  extra_header_bits: float = 0.0):
     """Rate-distortion-optimal quadtree cut (beyond-reference merge policy).
 
     Bottom-up dynamic program: a region's cost is its own
     bits + lam * weighted-squared-error; a parent is kept (merged) when its
     cost beats the best achievable by its children's subtrees. Returns
     keep[L] bool arrays compatible with _owner_level (a pixel is owned by
-    the highest kept ancestor).
+    the highest kept ancestor). ``extra_header_bits`` adjusts the per-region
+    header cost (e.g. the real LTP1 header instead of the reference's
+    110-bit estimate) so the cut optimizes actual file size.
     """
-    cost0 = levels[0]["bits"].astype(jnp.float32) + lam * levels[0]["dist"]
-    best = [cost0]
-    keep = [jnp.ones_like(cost0, bool)]
+    def cost_of(lvl):
+        return (
+            levels[lvl]["bits"].astype(jnp.float32)
+            + extra_header_bits
+            + lam * levels[lvl]["dist"]
+        )
+
+    best = [cost_of(0)]
+    keep = [jnp.ones_like(best[0], bool)]
     for lvl in range(1, num_levels):
         gy, gx = grids[lvl - 1].blocks_y, grids[lvl - 1].blocks_x
         idx, valid = _child_indices(gy, gx)
         idx = jnp.asarray(idx)
         # out-of-range children contribute nothing
         child_best = jnp.where(jnp.asarray(valid), best[lvl - 1][idx], 0.0).sum(axis=0)
-        own = levels[lvl]["bits"].astype(jnp.float32) + lam * levels[lvl]["dist"]
+        own = cost_of(lvl)
         merged = jnp.asarray(valid.all(axis=0)) & (own <= child_best)
         keep.append(merged)
         best.append(jnp.where(merged, own, child_best))
@@ -257,20 +266,16 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
     else:
         decoded4 = decoded
 
-    # per-region stats via owned-region reductions (owned = alive here but
-    # parent not alive); no full-res planes needed
+    # per-region stats via owned-region reductions; "owned at L" is derived
+    # from the owner map (NOT alive & ~parent-alive: the RD cut is not
+    # nested -- a kept grandparent can own regions whose parent is not kept)
+    by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
+    owner_grid = owner_blocks.reshape(by0, bx0)
     accum_bits = jnp.zeros((3,), jnp.int32)
     bits_histogram = jnp.zeros((3, 9), jnp.int32)
     bpp_weighted = jnp.zeros((), jnp.float32)
     for lvl in range(num_levels):
-        own = alive[lvl]
-        if lvl + 1 < num_levels:
-            gy, gx = grids[lvl].blocks_y, grids[lvl].blocks_x
-            yy, xx = np.mgrid[0:gy, 0:gx]
-            parent = jnp.asarray(
-                ((yy >> 1) * grids[lvl + 1].blocks_x + (xx >> 1)).reshape(-1)
-            )
-            own = own & ~alive[lvl + 1][parent]
+        own = (owner_grid[:: 1 << lvl, :: 1 << lvl] == lvl).reshape(-1)
         lv = levels[lvl]
         count = lv["mask"].astype(jnp.int32).sum(axis=0)
         own_i = own.astype(jnp.int32)

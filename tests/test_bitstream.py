@@ -39,6 +39,18 @@ def test_stream_smaller_at_higher_error_factor(rng):
     assert len(hi) < len(lo)
 
 
+def test_rd_policy_shrinks_real_stream(rng):
+    """The RD cut fed with the real LTP1 header cost should not produce a
+    larger file than the similarity policy at the default lambda."""
+    img = make_test_image(rng, 48, 72)
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    match = serialize(img, cfg, seed=0, num_levels=3, merge_policy="match")
+    rd = serialize(img, cfg, seed=0, num_levels=3, merge_policy="rd")
+    dec, info = deserialize(rd)
+    assert len(rd) <= len(match) * 1.02
+    assert dec.shape == (48, 72, 4)
+
+
 def test_reject_garbage():
     with pytest.raises(ValueError):
         deserialize(b"NOPE" + b"\x00" * 100)
