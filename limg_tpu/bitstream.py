@@ -129,7 +129,8 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
         bsz = BLOCK_SIZE << lvl
         counts = _region_pixel_counts(grids[lvl], bsz, h, w)
         shifts = np.asarray(lv["shifts"])            # (3, NB)
-        q = np.asarray(lv["q"])                      # (3, P, NB)
+        q_packed = np.asarray(lv["q_packed"])        # (P, NB) 3 bytes/px
+        q = np.stack([(q_packed >> (8 * k)) & 0xFF for k in range(3)])
         mask = np.asarray(lv["mask"])                # (P, NB)
         d = lv["decomp"]
         eps = [np.asarray(getattr(d, f)).astype(np.int16)

@@ -124,14 +124,11 @@ def _encode_image_device_pallas(image: jnp.ndarray, cfg: EncodeConfig,
     shifts, q_packed, dec_packed = outs[:3]
     q = jnp.stack([unpack_plane(q_packed, c) for c in range(3)])
     decoded_blocks = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
-    src = jnp.stack([unpack_plane(packed, c) for c in range(ch)]).astype(jnp.float32)
-    m = mask.astype(jnp.float32)
-    avg = (src * m[None]).sum(axis=1) / jnp.maximum(m.sum(axis=0), 1.0)
     d = Decomposition(
-        avg=avg,
-        dirA_min=outs[3], dirA_max=outs[4],
-        dirB_offset=outs[5], dirB_mag=outs[6],
-        dirC_offset=outs[7], dirC_mag=outs[8],
+        avg=outs[10],
+        dirA_min=outs[4], dirA_max=outs[5],
+        dirB_offset=outs[6], dirB_mag=outs[7],
+        dirC_offset=outs[8], dirC_mag=outs[9],
     )
     count = mask.astype(jnp.int32).sum(axis=0)
     s_eff = jnp.minimum(shifts, 8)

@@ -239,7 +239,7 @@ def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
 
     f8 = [q8(fa), q8(fb), q8(fc)]
     endpoints = (ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag)
-    return f8, endpoints, count
+    return f8, endpoints, count, avg
 
 
 def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
@@ -452,7 +452,16 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         q = [f >> jnp.minimum(shifts[k], 8) for k, f in enumerate(f8)]
 
     dec = decode_eval(shifts, q)
-    return shifts, q, dec
+    d_f = [(jnp.clip(d, 0, 255) - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
+    d2 = [x * x for x in d_f]
+    red_lo = d2[0] < float(0x4000)
+    err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
+    if channels >= 3:
+        err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
+    if channels == 4:
+        err = err + d2[3] * 3.0
+    dist = red.sum(err * mask_i.astype(jnp.float32))
+    return shifts, q, dec, dist
 
 
 def _pack_dec(dec, channels):
@@ -474,20 +483,22 @@ def _make_mono_kernel(spec: KernelSpec, emit_endpoints: bool, chunks: int):
     channels = spec.channels
 
     def kernel(params_ref, packed_ref, mask_ref, shifts_ref, q_ref, dec_ref,
-               *ep_refs):
+               dist_ref, *ep_refs):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         red = _Reducer(chunks, packed.shape[-1])
-        f8, endpoints, count = _fit_and_factors(packed, mask_i, channels, red)
-        shifts, q, dec = _crush_dither_decode(
+        f8, endpoints, count, avg = _fit_and_factors(packed, mask_i, channels, red)
+        shifts, q, dec, dist = _crush_dither_decode(
             packed, mask_i, f8, endpoints, count, spec, params_ref, red
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
         dec_ref[...] = _pack_dec(dec, channels)
+        dist_ref[...] = dist
         if emit_endpoints:
-            for ref, rows in zip(ep_refs, endpoints):
+            for ref, rows in zip(ep_refs[:6], endpoints):
                 ref[...] = jnp.concatenate(rows, axis=0)    # (ch, T)
+            ep_refs[6][...] = jnp.concatenate(avg, axis=0)  # (ch, T) f32
 
     return kernel
 
@@ -499,10 +510,11 @@ def _make_fit_kernel(spec: KernelSpec, chunks: int):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         red = _Reducer(chunks, packed.shape[-1])
-        f8, endpoints, _ = _fit_and_factors(packed, mask_i, channels, red)
+        f8, endpoints, _, avg = _fit_and_factors(packed, mask_i, channels, red)
         f8_ref[...] = f8[0] + (f8[1] << 8) + (f8[2] << 16)
-        for ref, rows in zip(ep_refs, endpoints):
+        for ref, rows in zip(ep_refs[:6], endpoints):
             ref[...] = jnp.concatenate(rows, axis=0)
+        ep_refs[6][...] = jnp.concatenate(avg, axis=0)
 
     return kernel
 
@@ -512,7 +524,7 @@ def _make_crush_kernel(spec: KernelSpec, chunks: int):
 
     def kernel(params_ref, packed_ref, mask_ref, f8_ref, *rest):
         ep_in = rest[:6]
-        shifts_ref, q_ref, dec_ref = rest[6:]
+        shifts_ref, q_ref, dec_ref, dist_ref = rest[6:]
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         red = _Reducer(chunks, packed.shape[-1])
@@ -523,12 +535,13 @@ def _make_crush_kernel(spec: KernelSpec, chunks: int):
             (e[...] for e in ep_in)
         )
         count = red.sum(mask_i)
-        shifts, q, dec = _crush_dither_decode(
+        shifts, q, dec, dist = _crush_dither_decode(
             packed, mask_i, f8, endpoints, count, spec, params_ref, red
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
         dec_ref[...] = _pack_dec(dec, channels)
+        dist_ref[...] = dist
 
     return kernel
 
@@ -542,7 +555,8 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
     packed_px: (P, NB) int32 RGBA-packed pixels (P = 64/256/1024 pixels per
     region for 8/16/32 px squares); mask: (P, NB) bool; seed: () int32.
     Returns (shifts (3, NB) i32, q_packed (P, NB) i32, decoded_packed
-    (P, NB) i32[, endpoints 6 x (ch, NB) i32 when emit_endpoints]).
+    (P, NB) i32, dist (1, NB) f32 per-region weighted error
+    [, endpoints 6 x (ch, NB) i32 + avg (ch, NB) f32 when emit_endpoints]).
     NB is padded to the lane tile internally. The error thresholds travel
     as traced scalars, so changing error_factor reuses the compiled kernel.
     Note: the kernel always runs the ladder search when crushing is enabled;
@@ -624,11 +638,13 @@ def _encode_blocks_pallas_impl(packed_px, mask, params, kspec: KernelSpec,
             jax.ShapeDtypeStruct((3, nlanes_total), jnp.int32),
             jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
             jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
+            jax.ShapeDtypeStruct((1, nlanes_total), jnp.float32),
         ]
-        out_specs = [spec(3), spec(sub_p), spec(sub_p)]
+        out_specs = [spec(3), spec(sub_p), spec(sub_p), spec(1)]
         if emit_endpoints:
             out_shapes += [jax.ShapeDtypeStruct((ch, nlanes_total), jnp.int32)] * 6
-            out_specs += [spec(ch)] * 6
+            out_shapes += [jax.ShapeDtypeStruct((ch, nlanes_total), jnp.float32)]
+            out_specs += [spec(ch)] * 7
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -645,11 +661,12 @@ def _encode_blocks_pallas_impl(packed_px, mask, params, kspec: KernelSpec,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
                 in_specs=[spec(sub_p), spec(sub_p)],
-                out_specs=tuple([spec(sub_p)] + [spec(ch)] * 6),
+                out_specs=tuple([spec(sub_p)] + [spec(ch)] * 7),
             ),
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32)]
                 + [jax.ShapeDtypeStruct((ch, nlanes_total), jnp.int32)] * 6
+                + [jax.ShapeDtypeStruct((ch, nlanes_total), jnp.float32)]
             ),
             interpret=interpret,
         )(seed_arg, packed_k, mask_k)
@@ -659,21 +676,25 @@ def _encode_blocks_pallas_impl(packed_px, mask, params, kspec: KernelSpec,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(grid,),
                 in_specs=[spec(sub_p), spec(sub_p), spec(sub_p)] + [spec(ch)] * 6,
-                out_specs=(spec(3), spec(sub_p), spec(sub_p)),
+                out_specs=(spec(3), spec(sub_p), spec(sub_p), spec(1)),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((3, nlanes_total), jnp.int32),
                 jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
                 jax.ShapeDtypeStruct((sub_p, nlanes_total), jnp.int32),
+                jax.ShapeDtypeStruct((1, nlanes_total), jnp.float32),
             ),
             interpret=interpret,
-        )(seed_arg, packed_k, mask_k, f8_packed, *eps)
+        )(seed_arg, packed_k, mask_k, f8_packed, *eps[:6])
         outs = tuple(crush_out) + (tuple(eps) if emit_endpoints else ())
 
     shifts = rows_from_tiled(outs[0])
     q_packed = from_chunked(outs[1])
     dec_packed = from_chunked(outs[2])
-    result = [shifts, q_packed, dec_packed] + [rows_from_tiled(e) for e in outs[3:]]
+    dist = rows_from_tiled(outs[3])
+    result = [shifts, q_packed, dec_packed, dist] + [
+        rows_from_tiled(e) for e in outs[4:]
+    ]
     if pad:
         result = [o[:, :nb] for o in result]
     return tuple(result)

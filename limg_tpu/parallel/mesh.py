@@ -59,30 +59,76 @@ def _encode_one_image_stats(image: jnp.ndarray, cfg: EncodeConfig, key: jax.Arra
 
 
 def encode_corpus_sharded(images, cfg: EncodeConfig, n_devices: int | None = None,
-                          seed: int = 0):
+                          seed: int = 0, use_pallas: bool = False):
     """Encode a batch of same-shape images sharded over a device mesh.
 
     ``images``: (N, H, W, C) uint8, N divisible by the mesh size. Returns
     host-side dict with per-image psnr/bpp and the corpus-mean psnr computed
-    with an on-device psum (the collective rides ICI).
+    with an on-device psum (the collective rides ICI). With ``use_pallas``
+    each chip concatenates its images along the block axis and runs the
+    fused kernel once over the whole shard.
     """
     mesh = make_mesh(n_devices)
     images = jnp.asarray(images)
     n = images.shape[0]
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("img"), P("img")),
-        out_specs=(P("img"), P("img"), P()),
-    )
-    def shard_fn(imgs, ks):
-        psnr, bpp = jax.vmap(
-            lambda im, k: _encode_one_image_stats(im, cfg, k)[:2]
-        )(imgs, ks)
-        mean_psnr = jax.lax.psum(psnr.sum(), "img") / n
-        return psnr, bpp, mean_psnr
+    if use_pallas:
+        from ..pallas_kernels.encode_fixed import (
+            encode_blocks_pallas, pack_channels, unpack_plane,
+        )
+
+        ch = cfg.channels
+        h, w = images.shape[1:3]
+        grid = layout.grid_for(h, w)
+        nb = grid.num_blocks
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P("img"), P("img")),
+            out_specs=(P("img"), P("img"), P()),
+            check_vma=False,
+        )
+        def shard_fn(imgs, ks):
+            n_loc = imgs.shape[0]
+            px, mask = jax.vmap(lambda im: layout.blockify(im, BLOCK_SIZE)[:2])(imgs)
+            # (n_loc, C, P, NB) -> (C, P, n_loc*NB): the shard is one big
+            # block batch for the kernel
+            px_all = px.transpose(1, 2, 0, 3).reshape(px.shape[1], 64, n_loc * nb)
+            mask_all = mask.transpose(1, 0, 2).reshape(64, n_loc * nb)
+            packed = pack_channels(px_all)
+            seed_s = jax.random.randint(ks[0], (), 0, 2**31 - 1, jnp.int32)
+            shifts, q_packed, dec_packed = encode_blocks_pallas(
+                packed, mask_all, cfg, seed_s
+            )[:3]
+            dec = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
+            src = px_all[:ch].astype(jnp.int32)
+            mask_i = mask_all.astype(jnp.int32)
+            err = (weighted_error(dec, src) * mask_i).astype(jnp.float32)
+            err_img = err.sum(axis=0).reshape(n_loc, nb).sum(axis=1)
+            npx = h * w
+            psnr = 10.0 * jnp.log10(
+                max_possible_error(ch) / jnp.maximum(err_img / npx, 1e-12)
+            )
+            count = mask_i.sum(axis=0).reshape(n_loc, nb)
+            s_eff = jnp.minimum(shifts, 8).reshape(3, n_loc, nb)
+            bits = ((8 - s_eff) * count[None]).sum(axis=(0, 2))
+            bpp = (bits + static_block_bits(ch) * nb) / npx
+            mean_psnr = jax.lax.psum(psnr.sum(), "img") / n
+            return psnr, bpp, mean_psnr
+    else:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("img"), P("img")),
+            out_specs=(P("img"), P("img"), P()),
+        )
+        def shard_fn(imgs, ks):
+            psnr, bpp = jax.vmap(
+                lambda im, k: _encode_one_image_stats(im, cfg, k)[:2]
+            )(imgs, ks)
+            mean_psnr = jax.lax.psum(psnr.sum(), "img") / n
+            return psnr, bpp, mean_psnr
 
     psnr, bpp, mean_psnr = jax.jit(shard_fn)(images, keys)
     return {

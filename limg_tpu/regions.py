@@ -97,75 +97,82 @@ def _owner_level(alive, grids, num_levels: int):
 
 
 def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key):
-    """One dense level through the fused Pallas kernel. Returns the same
-    fields encode_blocks provides that the merged path needs."""
-    from .pallas_kernels.encode_fixed import (
-        encode_blocks_pallas, pack_channels, unpack_plane,
-    )
+    """One dense level through the fused Pallas kernel.
 
-    ch = cfg.channels
+    Everything stays in the kernel's packed/per-region forms: the decode
+    plane as a packed-u32 word plane, per-region distortion and the fit avg
+    straight from the kernel (no full-image re-derivation)."""
+    from .pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
+
     px, mask, grid = layout.blockify(image, bsz)
     packed = pack_channels(px)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
     outs = encode_blocks_pallas(packed, mask, cfg, seed, emit_endpoints=True)
-    shifts, q_packed, dec_packed = outs[:3]
+    shifts, q_packed, dec_packed, dist = outs[:4]
     d = Decomposition(
-        avg=outs[3].astype(jnp.float32),  # avg unused by match/decode params
-        dirA_min=outs[3], dirA_max=outs[4],
-        dirB_offset=outs[5], dirB_mag=outs[6],
-        dirC_offset=outs[7], dirC_mag=outs[8],
+        avg=outs[10],
+        dirA_min=outs[4], dirA_max=outs[5],
+        dirB_offset=outs[6], dirB_mag=outs[7],
+        dirC_offset=outs[8], dirC_mag=outs[9],
     )
-    # avg for the match predicate: midpoint of the A endpoints is not the
-    # true mean; recompute cheaply from the source pixels
-    src = jnp.stack([unpack_plane(packed, c) for c in range(ch)]).astype(jnp.float32)
-    m = mask.astype(jnp.float32)
-    avg = (src * m[None]).sum(axis=1) / jnp.maximum(m.sum(axis=0), 1.0)
-    d = d._replace(avg=avg)
-    decoded = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
-    q = jnp.stack([unpack_plane(q_packed, c) for c in range(3)])
     count = mask.astype(jnp.int32).sum(axis=0)
     s_eff = jnp.minimum(shifts, 8)
-    block_bits = static_block_bits(ch) + ((8 - s_eff) * count[None]).sum(axis=0)
+    block_bits = static_block_bits(ch := cfg.channels) + (
+        (8 - s_eff) * count[None]
+    ).sum(axis=0)
     bpp_block = jnp.minimum(0xFF, (block_bits + count // 2) // count)
-    return grid, d, shifts, q, decoded, bpp_block, mask
+    return dict(
+        grid=grid, decomp=d, shifts=shifts, q_packed=q_packed,
+        dec_packed=dec_packed, dist=dist[0], bits=block_bits,
+        bpp_block=bpp_block, mask=mask, count=count,
+    )
+
+
+def _pack_dec_jnp(decoded_blocks, channels):
+    """(ch, P, NB) int -> packed u32 word plane (P, NB) i32 (alpha 0xFF)."""
+    packed = decoded_blocks[0].astype(jnp.int32)
+    for c in range(1, channels):
+        packed = packed + (decoded_blocks[c].astype(jnp.int32) << (8 * c))
+    if channels == 3:
+        packed = packed + jnp.int32(np.uint32(0xFF000000).view(np.int32))
+    return packed
 
 
 def encode_levels(image, cfg: EncodeConfig, dither_key, num_levels: int,
                   use_pallas: bool):
     """Dense per-level encode shared by the merged encoder and the
-    bitstream writer. Returns (grids, list of per-level dicts)."""
+    bitstream writer. Returns (grids, list of per-level dicts); decode
+    planes travel packed (``dec_packed``), factor planes packed
+    (``q_packed``)."""
+    from .ops.error import weighted_error
+
     keys = jax.random.split(dither_key, num_levels)
     grids, levels = [], []
     for lvl in range(num_levels):
         bsz = BLOCK_SIZE << lvl
         if use_pallas:
-            grid, d, shifts, q, decoded_blocks, bpp_block, mask = (
-                _encode_level_pallas(image, bsz, cfg, keys[lvl])
-            )
-        else:
-            px, mask, grid = layout.blockify(image, bsz)
-            res = encode_blocks(px, mask, cfg, keys[lvl])
-            d, shifts, q = res.decomposition, res.shifts, res.factors
-            decoded_blocks, bpp_block = res.decoded, res.bpp_block
+            lv = _encode_level_pallas(image, bsz, cfg, keys[lvl])
+            grids.append(lv.pop("grid"))
+            levels.append(lv)
+            continue
+        px, mask, grid = layout.blockify(image, bsz)
+        res = encode_blocks(px, mask, cfg, keys[lvl])
         grids.append(grid)
         count = mask.astype(jnp.int32).sum(axis=0)
-        s_eff = jnp.minimum(shifts, 8)
+        s_eff = jnp.minimum(res.shifts, 8)
         bits = static_block_bits(cfg.channels) + ((8 - s_eff) * count[None]).sum(axis=0)
-        src = px[: cfg.channels].astype(jnp.int32) if not use_pallas else None
-        if src is None:
-            from .pallas_kernels.encode_fixed import pack_channels, unpack_plane
-            packed = pack_channels(layout.blockify(image, bsz)[0])
-            src = jnp.stack(
-                [unpack_plane(packed, c) for c in range(cfg.channels)]
-            )
-        from .ops.error import weighted_error
         dist = (
-            weighted_error(decoded_blocks.astype(jnp.int32), src)
+            weighted_error(res.decoded, px[: cfg.channels].astype(jnp.int32))
             * mask.astype(jnp.int32)
         ).astype(jnp.float32).sum(axis=0)                       # (NB,)
+        q_packed = (
+            res.factors[0] + (res.factors[1] << 8) + (res.factors[2] << 16)
+        )
         levels.append(dict(
-            decomp=d, shifts=shifts, q=q, decoded=decoded_blocks,
-            bpp_block=bpp_block, mask=mask, bits=bits, dist=dist,
+            decomp=res.decomposition, shifts=res.shifts, q_packed=q_packed,
+            dec_packed=_pack_dec_jnp(res.decoded, cfg.channels),
+            bpp_block=res.bpp_block, mask=mask, bits=bits, dist=dist,
+            count=count,
         ))
     return grids, levels
 
@@ -231,9 +238,14 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
     for lvl in range(num_levels):
         bsz = BLOCK_SIZE << lvl
         grid, lv = grids[lvl], levels[lvl]
-        dec_imgs.append(layout.unblockify(lv["decoded"].astype(jnp.uint8), grid, bsz))
+        # keep the decode as one packed-u32 word plane until after the
+        # owner select -- 4x less traffic than per-channel planes
+        dec_imgs.append(
+            layout.unblockify(lv["dec_packed"][None], grid, bsz)[..., 0]
+        )
         if emit_planes:
-            f_shifted = (lv["q"] << jnp.minimum(lv["shifts"], 8)[:, None, :]) & 0xFF
+            q = jnp.stack([(lv["q_packed"] >> (8 * k)) & 0xFF for k in range(3)])
+            f_shifted = (q << jnp.minimum(lv["shifts"], 8)[:, None, :]) & 0xFF
             fac_imgs.append(layout.unblockify(f_shifted.astype(jnp.uint8), grid, bsz))
             shift_imgs.append(layout.broadcast_block_plane(lv["shifts"], grid, bsz))
             bpp_imgs.append(layout.broadcast_block_plane(lv["bpp_block"], grid, bsz))
@@ -258,13 +270,11 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
             out = jnp.where(cond, stack_list[lvl], out)
         return out
 
-    decoded = select(dec_imgs, "hwc")                              # (H, W, ch)
-
-    if ch == 3:
-        alpha = jnp.full((h, w, 1), 0xFF, jnp.uint8)
-        decoded4 = jnp.concatenate([decoded, alpha], axis=-1)
-    else:
-        decoded4 = decoded
+    dec_plane = select(dec_imgs, "hw")                             # (H, W) i32
+    decoded4 = jnp.stack(
+        [((dec_plane >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(4)],
+        axis=-1,
+    )
 
     # per-region stats via owned-region reductions; "owned at L" is derived
     # from the owner map (NOT alive & ~parent-alive: the RD cut is not
@@ -274,11 +284,13 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
     accum_bits = jnp.zeros((3,), jnp.int32)
     bits_histogram = jnp.zeros((3, 9), jnp.int32)
     bpp_weighted = jnp.zeros((), jnp.float32)
+    total_err = jnp.zeros((), jnp.float32)
     for lvl in range(num_levels):
         own = (owner_grid[:: 1 << lvl, :: 1 << lvl] == lvl).reshape(-1)
         lv = levels[lvl]
-        count = lv["mask"].astype(jnp.int32).sum(axis=0)
+        count = lv["count"]
         own_i = own.astype(jnp.int32)
+        total_err = total_err + (lv["dist"] * own_i).sum()
         s_eff = jnp.minimum(lv["shifts"], 8)                      # (3, NB)
         accum_bits = accum_bits + ((8 - s_eff) * (count * own_i)[None]).sum(axis=1)
         one_hot = s_eff[:, None, :] == jnp.arange(9)[None, :, None]
@@ -298,6 +310,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         bits_histogram=bits_histogram,
         alive_counts=merged_counts,
         mean_bpp=bpp_weighted / (h * w),
+        total_err=total_err,
     )
     if emit_planes:
         out["factors"] = select(fac_imgs, "hwc")                   # (H, W, 3)
@@ -332,8 +345,11 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
         image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,
         merge_policy=merge_policy, rd_lambda=rd_lambda,
     )
-    psnr, mse = weighted_psnr(image, out["decoded"], cfg.channels)
+    from .ops.error import max_possible_error
+
     n = image.shape[0] * image.shape[1]
+    mse = float(out["total_err"]) / n
+    psnr = 10.0 * np.log10(max_possible_error(cfg.channels) / max(mse, 1e-12))
     mean_bpp = out["mean_bpp"]
 
     np_out = dict(

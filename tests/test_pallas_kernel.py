@@ -38,7 +38,7 @@ def test_pallas_matches_jnp_no_dither(setup, channels):
     res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
     shifts, qp, decp = encode_blocks_pallas(
         pack_channels(px), mask, cfg, jnp.int32(0), interpret=True
-    )
+    )[:3]
     assert np.array_equal(np.asarray(res.shifts), np.asarray(shifts))
     dec_pal = np.stack(
         [np.asarray(unpack_plane(decp, c)) for c in range(channels)]
@@ -67,9 +67,10 @@ def test_pallas_region_sizes_match_jnp(bsz):
     dec_pal = np.stack([np.asarray(unpack_plane(decp, c)) for c in range(3)])
     m = np.asarray(mask)[None].astype(bool)
     assert (((np.asarray(res.decoded) == dec_pal) | ~m)).all()
+    # outs[3] is the per-region distortion; endpoints follow at 4:10
     names = ["dirA_min", "dirA_max", "dirB_offset", "dirB_mag",
              "dirC_offset", "dirC_mag"]
-    for n, e in zip(names, outs[3:]):
+    for n, e in zip(names, outs[4:10]):
         assert np.array_equal(
             np.asarray(getattr(res.decomposition, n)), np.asarray(e)
         ), n
@@ -80,7 +81,7 @@ def test_pallas_crush_none(setup):
     cfg = EncodeConfig(error_factor=0, crush_mode="none", dithering=False)
     shifts, qp, decp = encode_blocks_pallas(
         pack_channels(px), mask, cfg, jnp.int32(0), interpret=True
-    )
+    )[:3]
     assert (np.asarray(shifts) == 0).all()
     res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
     dec_pal = np.stack([np.asarray(unpack_plane(decp, c)) for c in range(3)])

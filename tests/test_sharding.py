@@ -34,6 +34,14 @@ def test_blocks_sharded_matches_unsharded(rng):
     assert psnr8 > 25.0
 
 
+def test_corpus_sharded_pallas_matches_jnp(images):
+    cfg = EncodeConfig(error_factor=100, crush_mode="none")
+    a = encode_corpus_sharded(images, cfg, n_devices=8)
+    b = encode_corpus_sharded(images, cfg, n_devices=8, use_pallas=True)
+    assert np.allclose(a["psnr"], b["psnr"], atol=0.05)
+    assert np.allclose(a["bpp"], b["bpp"], atol=0.6)
+
+
 def test_blocks_sharded_pallas_kernel_in_shard_map(rng):
     """The fused kernel composes with shard_map (interpret mode on the
     virtual mesh); result must match the jnp sharded path."""
