@@ -35,7 +35,6 @@ from .ops import layout
 from .ops.fit import Decomposition
 from .ops.match import match_decomps
 from .encoder import encode_blocks
-from .ops.error import psnr as weighted_psnr
 
 
 def _child_indices(by: int, bx: int):
