@@ -39,13 +39,24 @@ GUESS_TRIPLES = ((4, 5, 6), (5, 8, 8), (4, 6, 8), (2, 4, 5))
 _BIG_I32 = jnp.int32(2**31 - 1)
 
 
+def _err_scale_shift(p: int) -> int:
+    """Block-error accumulator pre-scale for big regions.
+
+    Per-pixel weighted errors reach 780300; at >= 2048 pixels the int32 sum
+    can overflow, so errors are floored by 16 before accumulation and the
+    admissibility comparison compensates. Applied identically in the jnp
+    path and the Pallas kernel so results stay bit-identical."""
+    return 4 if p >= 2048 else 0
+
+
 def _triple_errors(px, mask_i, f8, normals, mins, shifts):
     """Exact per-block errors for one (possibly per-block) shift triple.
 
     px: (ch, P, NB) i32 source pixels; mask_i: (P, NB) i32 (0/1);
     f8: (3, P, NB) i32 uncrushed factor planes; normals/mins: (3, ch, NB) i32
     already drop-adjusted for these shifts; shifts: (3, NB) i32.
-    Returns (pix_max, block_err): (NB,) i32 each.
+    Returns (pix_max, block_err): (NB,) i32 each; block_err is pre-scaled by
+    1/16 for regions >= 2048 px (see _err_scale_shift).
     """
     s_eff = jnp.minimum(shifts, 8)
     q = f8 >> s_eff[:, None, :]
@@ -54,7 +65,8 @@ def _triple_errors(px, mask_i, f8, normals, mins, shifts):
     est = (mins[:, :, None, :] + (prod >> 8)).sum(axis=0)
     dec = jnp.clip(est, 0, 255)
     err = weighted_error(dec, px) * mask_i       # (P, NB)
-    return err.max(axis=0), err.sum(axis=0)
+    es = _err_scale_shift(px.shape[1])
+    return err.max(axis=0), (err >> es).sum(axis=0)
 
 
 def evaluate_shifts(px, mask_i, f8, d: Decomposition, shifts, channels: int):
@@ -63,10 +75,15 @@ def evaluate_shifts(px, mask_i, f8, d: Decomposition, shifts, channels: int):
     return _triple_errors(px, mask_i, f8, normals, mins, shifts)
 
 
-def _admissible(pix_max, block_err, count, cfg: EncodeConfig):
-    return (pix_max <= cfg.max_pixel_bit_crush_error) & (
-        block_err * 0x10 < cfg.max_block_bit_crush_error * count
-    )
+def _admissible(pix_max, block_err, count, cfg: EncodeConfig, err_scale: int = 0):
+    pix_ok = pix_max <= cfg.max_pixel_bit_crush_error
+    if err_scale == 0:
+        # exact integer comparison (bit parity with golden/kernel)
+        return pix_ok & (block_err * 0x10 < cfg.max_block_bit_crush_error * count)
+    # pre-scaled big regions: both sides can exceed int32, compare in f32
+    lhs = block_err.astype(jnp.float32) * float(0x10 << err_scale)
+    rhs = count.astype(jnp.float32) * float(cfg.max_block_bit_crush_error)
+    return pix_ok & (lhs < rhs)
 
 
 def _all_triples() -> np.ndarray:
@@ -86,7 +103,7 @@ def _scan_candidates(px, mask_i, f8, d, count, cfg, triples_per_block):
     def body(carry, shifts):
         best_s, best_total, best_err = carry
         pix_max, block_err = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
-        ok = _admissible(pix_max, block_err, count, cfg)
+        ok = _admissible(pix_max, block_err, count, cfg, _err_scale_shift(px.shape[1]))
         total = jnp.minimum(shifts, 8).sum(axis=0)
         take = ok & ((total > best_total) | ((total == best_total) & (block_err <= best_err)))
         best_s = jnp.where(take, shifts, best_s)
@@ -124,7 +141,7 @@ def find_shifts_guess(px, mask_i, f8, d, count, cfg: EncodeConfig):
     for t in GUESS_TRIPLES:
         shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, nb))
         pix_max, block_err = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
-        oks.append(_admissible(pix_max, block_err, count, cfg))
+        oks.append(_admissible(pix_max, block_err, count, cfg, _err_scale_shift(px.shape[1])))
         errs.append(block_err)
     t456, t588, t468, t245 = [jnp.asarray(t, jnp.int32)[:, None] for t in GUESS_TRIPLES]
     zero = jnp.zeros((3, 1), jnp.int32)
@@ -175,10 +192,11 @@ def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
     d_pix = [p - p[0][None] for p in pix_axis]
 
     # Stage 2: per-axis base + boxed candidates.
+    es = _err_scale_shift(px.shape[1])
     s_iota = jnp.arange(9, dtype=jnp.int32)[:, None]
     base = []
     for axis in range(3):
-        adm_ax = _admissible(pix_axis[axis], blk_axis[axis], count[None], cfg)
+        adm_ax = _admissible(pix_axis[axis], blk_axis[axis], count[None], cfg, es)
         base.append(jnp.max(jnp.where(adm_ax, s_iota, 0), axis=0))  # (NB,)
 
     # candidate shifts per axis and offset: (4, NB)
@@ -195,7 +213,7 @@ def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
     approx_blk = err0[None] + lattice(d_blk_at)
     approx_pix = pix0[None] + lattice(d_pix_at)
     totals = lattice(s_cand)
-    adm = _admissible(approx_pix, approx_blk, count[None], cfg).astype(jnp.int32)
+    adm = _admissible(approx_pix, approx_blk, count[None], cfg, es).astype(jnp.int32)
     err_packed = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
     key = (adm << 30) + (totals << 25) + err_packed             # (64, NB)
 

@@ -67,7 +67,8 @@ class KernelSpec:
 # each region is split into `chunks` 256-pixel column groups laid out along
 # lanes; per-region reductions combine the chunks with lane rolls. Lane
 # width = chunks * regions_per_tile must be a multiple of 128.
-_GEOM_FOR_P = {64: (64, 1, 256), 256: (256, 1, 128), 1024: (256, 4, 32)}
+_GEOM_FOR_P = {64: (64, 1, 256), 256: (256, 1, 128), 1024: (256, 4, 32),
+               4096: (256, 16, 8)}
 _SPLIT_THRESHOLD_P = 4096   # split fit/crush into two kernels at this size
 
 
@@ -257,6 +258,17 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
     crush = spec.crush
     dither = spec.dither
     ladder_k = spec.ladder_k
+    # pre-scale block-error accumulation on big regions (int32 headroom);
+    # must match ops.crush._err_scale_shift for jnp/kernel bit parity
+    es = 4 if packed.shape[0] * red.chunks >= 2048 else 0
+
+    def blk_ok(be, count_row):
+        if es == 0:
+            return be * 0x10 < max_blk * count_row
+        lhs = be.astype(jnp.float32) * float(0x10 << es)
+        rhs = count_row.astype(jnp.float32) * max_blk.astype(jnp.float32)
+        return lhs < rhs
+
     ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = endpoints
 
     px_i = _unpack_channels(packed, channels)
@@ -302,7 +314,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         if channels == 4:
             err = err + d2[3] * 3.0
         err_i = err.astype(jnp.int32) * mask_i
-        return red.max(err_i), red.sum(err_i)
+        return red.max(err_i), red.sum(err_i >> es)
 
     def decode_eval(s, q):
         """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors -> decoded
@@ -364,9 +376,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         iota9 = lax.broadcasted_iota(jnp.int32, (9, t), 0)
         base = []
         for axis in range(3):
-            adm_ax = (pix_ax[axis] <= max_pix) & (
-                blk_ax[axis] * 0x10 < max_blk * count
-            )
+            adm_ax = (pix_ax[axis] <= max_pix) & blk_ok(blk_ax[axis], count)
             base.append(
                 jnp.max(jnp.where(adm_ax, iota9, 0), axis=0, keepdims=True)
             )                                               # (1, T)
@@ -394,7 +404,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         approx_pix = pix0 + lattice(dp_at)
         totals = lattice(sv_at)
         adm = (
-            (approx_pix <= max_pix) & (approx_blk * 0x10 < max_blk * count)
+            (approx_pix <= max_pix) & blk_ok(approx_blk, count)
         ).astype(jnp.int32)
         err_pack = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
         key = (adm << 30) + (totals << 25) + err_pack       # (64, T)
@@ -410,7 +420,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
             sb = jnp.maximum(base[1] - (idx // 4) % 4, 0)
             sc = jnp.maximum(base[2] - idx % 4, 0)
             pm, be = crush_eval([sa, sb, sc])
-            ok = (pm <= max_pix) & (be * 0x10 < max_blk * count)
+            ok = (pm <= max_pix) & blk_ok(be, count)
             total = sa + sb + sc
             take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
             bs0 = jnp.where(take, sa, bs0)

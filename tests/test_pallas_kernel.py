@@ -51,7 +51,7 @@ def test_pallas_matches_jnp_no_dither(setup, channels):
     assert agree_q.mean() == 1.0
 
 
-@pytest.mark.parametrize("bsz", [16, 32])
+@pytest.mark.parametrize("bsz", [16, 32, 64])
 def test_pallas_region_sizes_match_jnp(bsz):
     """P=256 (mono) and P=1024 (chunked lane-roll reductions) parity."""
     img = make_test_image(np.random.default_rng(78), 64, 96)

@@ -125,6 +125,21 @@ def test_merged_vs_fixed_tradeoff(rng):
     assert merged["psnr"] > 30.0
 
 
+def test_four_level_merge_flat_content(rng):
+    """64x64 regions (P=4096, scaled error accumulators) merge fully on
+    flat content and amortize the header to ~0 bpp."""
+    img = np.zeros((128, 192, 4), np.uint8)
+    img[..., 3] = 255
+    img[:, :96, :3] = [40, 90, 160]
+    img[:, 96:, :3] = [200, 180, 30]
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder", dithering=False)
+    out = encode_image_merged(img, cfg, num_levels=4, merge_policy="rd",
+                              fetch_planes=False)
+    assert out["alive_counts"][3] > 0
+    assert out["mean_bpp"] < 0.5
+    assert out["mse"] == 0.0
+
+
 def test_rd_merge_policy_dominates_match(rng):
     """The rate-distortion cut (beyond-reference) must beat the reference's
     similarity heuristic at its operating point: fewer bits at >= PSNR."""
