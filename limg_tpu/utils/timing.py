@@ -46,8 +46,10 @@ def time_device_fn(fn, *args, iters: int = 20, inner: int = 5):
         batch_times.append(time.perf_counter() - t0)
     batch = float(np.median(batch_times))
     per_call = max(batch - rtt, 1e-9) / inner
+    best = max(float(np.min(batch_times)) - rtt, 1e-9) / inner
     return per_call, {
         "batch_s": batch,
         "rtt_s": rtt,
+        "best_s": best,
         "batches": [round(b, 5) for b in batch_times],
     }
