@@ -40,7 +40,7 @@ def _hash_color(v: int) -> int:
 def _parse_args(argv):
     opts = dict(
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
-        count=1, files=[], source=None, list_mode=False, use_pallas=False,
+        count=1, files=[], source=None, list_mode=False, use_pallas=None,
         diagnose=False, merge_policy="match",
     )
     if not argv:
@@ -63,6 +63,8 @@ def _parse_args(argv):
             opts["fixed_grid"] = True
         elif a == "--use-pallas":
             opts["use_pallas"] = True
+        elif a == "--no-pallas":
+            opts["use_pallas"] = False
         elif a == "--diagnose":
             opts["diagnose"] = True
         elif a == "--rd-merge":

@@ -157,17 +157,22 @@ def encode_perf_step(image: jnp.ndarray, cfg: EncodeConfig, dither_key: jax.Arra
     return res.decoded.sum(), res.shifts.sum()
 
 
-def encode_image(image, cfg: EncodeConfig, seed: int = 0, use_pallas: bool = False):
+def encode_image(image, cfg: EncodeConfig, seed: int = 0,
+                 use_pallas: bool | None = None):
     """Host-facing full encode. Returns a dict of planes + stats (NumPy).
 
     Output surface mirrors limg_encode3d_info (src/limg.h:29-33) plus the
     blocked-path extras (bits-per-pixel plane, src/limg.h:39-44).
-    ``use_pallas`` routes the compute through the fused kernel.
+    ``use_pallas`` routes the compute through the fused kernel; the default
+    (None) picks the kernel automatically on accelerator backends. The two
+    backends agree bit-exactly on shifts/endpoints/decode (tested).
     """
     import numpy as np
 
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and cfg.crush_mode in ("ladder", "none")
     if use_pallas:
         decoded, res = _encode_image_device_pallas(image, cfg, key)
     else:

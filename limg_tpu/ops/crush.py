@@ -17,8 +17,8 @@ blockError * 0x10 < maxBlockBitCrushError * numPixels.
 Three search modes (config.crush_mode):
 - "guess":      the reference's canned triples with its nested-acceptance
                 logic (src/limg_bit_crush.h:332-392).
-- "ladder":     per-axis sweeps -> additive error model ranks all 729
-                triples on scalars -> exact verification of the top-K.
+- "ladder":     per-axis sweeps -> additive error model ranks a boxed 4^3
+                candidate lattice on scalars -> exact top-K verification.
 - "exhaustive": all 729 triples exactly (the golden-model optimum).
 """
 

@@ -329,7 +329,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
 
 
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
-                        fetch_planes: bool = True, use_pallas: bool = False,
+                        fetch_planes: bool = True, use_pallas: bool | None = None,
                         merge_policy: str = "match", rd_lambda: float = 0.01):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
@@ -340,6 +340,11 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     """
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and cfg.crush_mode in ("ladder", "none")
+        )
     out = encode_image_merged_device(
         image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,
         merge_policy=merge_policy, rd_lambda=rd_lambda,
