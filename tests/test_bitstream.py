@@ -32,6 +32,19 @@ def test_roundtrip_exact(rng, num_levels):
     assert info["real_bpp"] < 32  # always beats raw RGBA
 
 
+def test_roundtrip_rgba(rng):
+    img = make_test_image(rng, 40, 48)
+    img[..., 3] = np.clip(
+        100 + np.arange(48, dtype=np.int32) * 3, 0, 255
+    ).astype(np.uint8)[None, :]
+    cfg = EncodeConfig(error_factor=100, has_alpha=True, crush_mode="ladder")
+    blob = serialize(img, cfg, seed=0, num_levels=2)
+    dec, info = deserialize(blob)
+    assert info["has_alpha"]
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=2)
+    assert np.array_equal(dec, ref["decoded"])
+
+
 def test_stream_smaller_at_higher_error_factor(rng):
     img = make_test_image(rng, 48, 72)
     lo = serialize(img, EncodeConfig(error_factor=50), seed=0)
