@@ -201,9 +201,14 @@ def _run_list_mode(opts, crush_mode):
     import jax
     import jax.numpy as jnp
     from .config import EncodeConfig
-    from .encoder import encode_perf_step
+    from .encoder import encode_perf_step, encode_perf_step_pallas
     from .io import load_image
     from .utils.timing import time_device_fn
+
+    use_pallas = opts["use_pallas"]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and crush_mode == "ladder"
+    perf_step = encode_perf_step_pallas if use_pallas else encode_perf_step
 
     files = opts["files"]
     if not files:
@@ -224,7 +229,7 @@ def _run_list_mode(opts, crush_mode):
         mpx = image.shape[0] * image.shape[1] * 1e-6
         if single_perf:
             per, det = time_device_fn(
-                lambda: encode_perf_step(img_d, cfg, key),
+                lambda: perf_step(img_d, cfg, key),
                 iters=opts["count"], inner=min(5, opts["count"]),
             )
             print(
@@ -233,7 +238,7 @@ def _run_list_mode(opts, crush_mode):
             )
         else:
             per, _ = time_device_fn(
-                lambda: encode_perf_step(img_d, cfg, key),
+                lambda: perf_step(img_d, cfg, key),
                 iters=opts["count"] * 2, inner=2,
             )
             total_px += mpx * opts["count"]

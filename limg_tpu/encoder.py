@@ -157,6 +157,19 @@ def encode_perf_step(image: jnp.ndarray, cfg: EncodeConfig, dither_key: jax.Arra
     return res.decoded.sum(), res.shifts.sum()
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_perf_step_pallas(image: jnp.ndarray, cfg: EncodeConfig,
+                            dither_key: jax.Array):
+    """Fused-kernel perf step (what bench.py measures)."""
+    from .pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
+
+    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+    packed = pack_channels(px)
+    seed = jax.random.randint(dither_key, (), 0, 2**31 - 1, jnp.int32)
+    shifts, q_packed, dec_packed = encode_blocks_pallas(packed, mask, cfg, seed)[:3]
+    return dec_packed.sum(), shifts.sum()
+
+
 def encode_image(image, cfg: EncodeConfig, seed: int = 0,
                  use_pallas: bool | None = None):
     """Host-facing full encode. Returns a dict of planes + stats (NumPy).
