@@ -33,6 +33,7 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
+    import functools
     import jax.numpy as jnp
     from limg_tpu import EncodeConfig
     from limg_tpu.ops import layout
@@ -43,33 +44,34 @@ def main():
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
-    img = jnp.asarray(np.concatenate([img_np, alpha], axis=-1))
+    img = jax.device_put(jnp.asarray(np.concatenate([img_np, alpha], axis=-1)))
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
-
-    px, mask, grid = layout.blockify(img)
-    packed = jax.device_put(pack_channels(px))
-    mask = jax.device_put(mask)
     seed = jnp.int32(0)
 
-    per_call, det = time_device_fn(
-        lambda: encode_blocks_pallas(packed, mask, cfg, seed),
-        iters=50, inner=5,
-    )
+    # the timed step starts from the device-resident (H, W, 4) image tensor
+    # and includes the blockify/pack relayout (H2D upload is excluded: on
+    # this tunneled dev setup it measures the network, not the chip)
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def step(img, cfg, seed):
+        px, mask, _ = layout.blockify(img)
+        return encode_blocks_pallas(pack_channels(px), mask, cfg, seed)[:3]
+
+    per_call, det = time_device_fn(lambda: step(img, cfg, seed), iters=50, inner=5)
 
     # the development TPU is a shared tunneled pool with 2-4x run-to-run
-    # contention noise; report best-of-batches (the reference harness also
-    # reports min/max, src/main.cpp:310-323) with the median alongside
+    # contention noise; the headline is the median, best-of-batches is in
+    # details (the reference harness reports min/max, src/main.cpp:310-323)
     mpx = h * w * 1e-6
-    value = mpx / det["best_s"]
+    value = mpx / per_call
     print(json.dumps({
-        "metric": "4K RGB fixed-grid encode throughput (errorFactor=100, ladder crush)",
+        "metric": "4K RGB fixed-grid encode throughput (errorFactor=100, ladder crush, incl. blockify)",
         "value": round(value, 3),
         "unit": "Mpx/s",
         "vs_baseline": round(value / BASELINE_MPXS, 3),
         "details": {
-            "best_ms_per_image": round(det["best_s"] * 1e3, 3),
             "median_ms_per_image": round(per_call * 1e3, 3),
-            "median_mpxs": round(mpx / per_call, 3),
+            "best_ms_per_image": round(det["best_s"] * 1e3, 3),
+            "best_mpxs": round(mpx / det["best_s"], 3),
             "device_fetch_rtt_ms": round(det["rtt_s"] * 1e3, 2),
             "baseline_mpxs_est_16core": BASELINE_MPXS,
             "baseline_mpxs_measured_1core": CPU_SINGLE_CORE_MPXS,

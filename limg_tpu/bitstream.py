@@ -5,9 +5,9 @@ The reference is a research harness with NO bitstream at all -- its
 append-blob prototype at src/limg_internal.h:96-144 shows a format was
 planned but never built. This module completes that capability:
 
-Format "LTP1" v2 (little-endian):
+Format "LTP1" v2/v3 (little-endian):
   magic    4s   b"LTP1"
-  version  u8   2
+  version  u8   2 (raw factor bits) or 3 (rANS-entropy-coded factors)
   flags    u8   bit0 = has_alpha
   width    u32
   height   u32
@@ -18,12 +18,25 @@ Format "LTP1" v2 (little-endian):
     shifts   u16: sA | sB<<4 | sC<<8  (0..8 each)
     endpoints 6*ch x 12-bit signed (value+2048), bit-packed LSB-first:
               dirA_min/max, dirB_off/mag, dirC_off/mag per channel
-    factors  bit-packed: for each axis with s<8, count*(8-s) bits of the
-             crushed factors in row-major region pixel order (LSB-first)
+    factors  v2 only, bit-packed: for each axis with s<8, count*(8-s) bits
+             of the crushed factors in row-major region pixel order
+  v3 only, after all regions -- per axis k in 0..2:
+    mode     u8   1 = rANS, 0 = raw fixed-width packing (chosen per axis by
+                  whichever is smaller, so v3 never loses to v2 by more
+                  than 3 bytes total)
+    mode 1:  n_syms u32, n_bytes u32, n_freq u16,
+             n_freq x u16 quantized frequencies (sum = 4096; symbols >=
+             n_freq never occur), rANS stream (native/limg_rt_rans_* codec,
+             runtime/limg_runtime.cpp)
+    mode 0:  n_bytes u32, per-region _pack_bits(width = 8-s) concatenation
+  v3 factor symbols are *deltas* along each region's pixel stream, modulo
+  2^(8-s): smooth content concentrates them near 0, which the order-0 rANS
+  then codes in far fewer bits than the raw fixed-width packing.
 
 Decoding reverses the packing and runs the standard integer reconstruction
 (ops/decode.py), so encode->serialize->parse->decode is exact. Real file
-bits-per-pixel can now be compared against the reference's estimate.
+bits-per-pixel can now be compared against the reference's estimate
+(the reference has NO bitstream; src/limg.cpp:1629-1636 is an estimate).
 """
 
 from __future__ import annotations
@@ -41,6 +54,7 @@ from .ops.decode import decode_blocks
 
 _MAGIC = b"LTP1"
 _VERSION = 2
+_VERSION_ENTROPY = 3
 _EP_BITS = 12          # signed endpoint field width (value + 2048)
 _EP_BIAS = 2048
 
@@ -89,8 +103,15 @@ def _owned_masks_from_owner(owner0: np.ndarray, grids, num_levels):
 
 def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
               use_pallas: bool = False, merge_policy: str = "match",
-              rd_lambda: float = 0.01) -> bytes:
-    """Encode an (H, W, 4) uint8 image into an LTP1 blob."""
+              rd_lambda: float = 0.01, entropy: bool = True) -> bytes:
+    """Encode an (H, W, 4) uint8 image into an LTP1 blob.
+
+    ``entropy=True`` writes v3 (delta + rANS coded factor planes; smaller
+    real files); ``entropy=False`` writes v2 (raw fixed-width factor bits).
+    Note: the serializer uses quadtree (square) regions only; the merged
+    encoder's band-coalescing pass (regions.coalesce_level_bands) is not yet
+    expressible in the owner map, so streams match
+    encode_image_merged(coalesce=False)."""
     from .regions import encode_levels, merge_levels_alive, rd_merge_keep
 
     image = jnp.asarray(image)
@@ -103,7 +124,7 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
         # the serialized one
         from .config import static_block_bits
         extra = region_header_bits(ch) - static_block_bits(ch)
-        alive = rd_merge_keep(levels, grids, num_levels, rd_lambda, extra)
+        alive, _ = rd_merge_keep(levels, grids, num_levels, rd_lambda, extra)
     elif num_levels > 1:
         alive, _ = merge_levels_alive(
             [lv["decomp"] for lv in levels], grids, ch
@@ -120,10 +141,12 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
     owned = _owned_masks_from_owner(owner0, grids, num_levels)
 
     out = bytearray()
-    out += struct.pack("<4sBBIIBH", _MAGIC, _VERSION, int(cfg.has_alpha), w, h,
+    version = _VERSION_ENTROPY if entropy else _VERSION
+    out += struct.pack("<4sBBIIBH", _MAGIC, version, int(cfg.has_alpha), w, h,
                        num_levels, cfg.error_factor & 0xFFFF)
     out += _pack_bits(owner0.astype(np.uint8), 2).tobytes()
 
+    axis_syms = [[], [], []]    # v3: per-axis delta symbol chunks
     for lvl in range(num_levels):
         lv = levels[lvl]
         bsz = BLOCK_SIZE << lvl
@@ -145,9 +168,48 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
             assert valid.sum() == counts[r]
             for k in range(3):
                 width = 8 - int(s[k])
-                if width > 0:
-                    out += _pack_bits(q[k][valid, r].astype(np.uint8), width).tobytes()
+                if width <= 0:
+                    continue
+                vals = q[k][valid, r].astype(np.uint8)
+                if entropy:
+                    axis_syms[k].append((_delta_mod(vals, width), width))
+                else:
+                    out += _pack_bits(vals, width).tobytes()
+
+    if entropy:
+        from . import native
+
+        for k in range(3):
+            chunks = axis_syms[k]
+            syms = (np.concatenate([c for c, _ in chunks]) if chunks
+                    else np.zeros(0, np.uint8))
+            raw = b"".join(
+                _pack_bits(c, wd).tobytes() for c, wd in chunks
+            )
+            freqs = native.rans_quantize_freqs(np.bincount(syms, minlength=256))
+            stream = native.rans_encode(syms, freqs) if syms.size else b""
+            n_freq = int(np.max(np.nonzero(freqs)[0])) + 1 if freqs.any() else 1
+            rans_size = 8 + 2 + 2 * n_freq + len(stream)
+            if rans_size < 4 + len(raw):
+                out += struct.pack("<BIIH", 1, syms.size, len(stream), n_freq)
+                out += freqs[:n_freq].astype(np.uint16).tobytes()
+                out += stream
+            else:
+                out += struct.pack("<BI", 0, len(raw))
+                out += raw
     return bytes(out)
+
+
+def _delta_mod(vals: np.ndarray, width: int) -> np.ndarray:
+    """Per-region delta transform modulo 2^width (first value kept)."""
+    d = np.empty_like(vals)
+    d[0] = vals[0]
+    d[1:] = (vals[1:].astype(np.int16) - vals[:-1].astype(np.int16)) & ((1 << width) - 1)
+    return d
+
+
+def _undelta_mod(d: np.ndarray, width: int) -> np.ndarray:
+    return (np.cumsum(d.astype(np.int64)) & ((1 << width) - 1)).astype(np.uint8)
 
 
 def deserialize(blob: bytes):
@@ -155,8 +217,9 @@ def deserialize(blob: bytes):
 
     Returns ((H, W, 4) uint8 decoded image, info dict)."""
     magic, ver, flags, w, h, num_levels, ef = struct.unpack_from("<4sBBIIBH", blob, 0)
-    if magic != _MAGIC or ver != _VERSION:
-        raise ValueError("not an LTP1 v2 stream")
+    if magic != _MAGIC or ver not in (_VERSION, _VERSION_ENTROPY):
+        raise ValueError("not an LTP1 v2/v3 stream")
+    entropy = ver == _VERSION_ENTROPY
     has_alpha = bool(flags & 1)
     ch = 4 if has_alpha else 3
     off = struct.calcsize("<4sBBIIBH")
@@ -181,6 +244,8 @@ def deserialize(blob: bytes):
         owned.append(o.reshape(-1))
 
     dec_imgs = []
+    level_arrays = []
+    pending = []              # v3: (lvl, r, n, s) in stream order
     for lvl in range(num_levels):
         grid = grids[lvl]
         bsz = BLOCK_SIZE << lvl
@@ -204,8 +269,11 @@ def deserialize(blob: bytes):
             off += ep_bytes
             for j, e in enumerate(eps):
                 e[:, r] = ep_vals[j * ch:(j + 1) * ch]
-            valid = mask_np[:, r]
             n = int(counts[r])
+            if entropy:
+                pending.append((lvl, r, n, s))
+                continue
+            valid = mask_np[:, r]
             for k in range(3):
                 width = 8 - s[k]
                 if width > 0:
@@ -215,8 +283,60 @@ def deserialize(blob: bytes):
                     )
                     off += nbytes
                     q[k][valid, r] = vals
+        level_arrays.append((shifts, q, eps, mask_np))
+
+    if entropy:
+        from . import native
+
+        # three per-axis sections, then scatter the decoded symbols back
+        for k in range(3):
+            (mode,) = struct.unpack_from("<B", blob, off)
+            off += 1
+            if mode == 1:
+                n_syms, n_bytes, n_freq = struct.unpack_from("<IIH", blob, off)
+                off += 10
+                freqs = np.zeros(256, np.uint32)
+                freqs[:n_freq] = np.frombuffer(blob, np.uint16, n_freq, off)
+                off += 2 * n_freq
+                syms = (
+                    native.rans_decode(blob[off:off + n_bytes], freqs, n_syms)
+                    if n_syms else np.zeros(0, np.uint8)
+                )
+                off += n_bytes
+                pos = 0
+                for lvl, r, n, s in pending:
+                    width = 8 - s[k]
+                    if width <= 0:
+                        continue
+                    _, q_l, _, mask_np = level_arrays[lvl]
+                    vals = _undelta_mod(syms[pos:pos + n], width)
+                    pos += n
+                    q_l[k][mask_np[:, r], r] = vals
+                assert pos == n_syms
+            else:
+                (n_bytes,) = struct.unpack_from("<I", blob, off)
+                off += 4
+                pos = off
+                for lvl, r, n, s in pending:
+                    width = 8 - s[k]
+                    if width <= 0:
+                        continue
+                    _, q_l, _, mask_np = level_arrays[lvl]
+                    nbytes = -(-n * width // 8)
+                    d_vals = _unpack_bits(
+                        np.frombuffer(blob, np.uint8, nbytes, pos), n, width
+                    ).astype(np.uint8)
+                    pos += nbytes
+                    q_l[k][mask_np[:, r], r] = _undelta_mod(d_vals, width)
+                assert pos == off + n_bytes
+                off = pos
+
+    for lvl in range(num_levels):
+        grid = grids[lvl]
+        bsz = BLOCK_SIZE << lvl
+        shifts, q, eps, _ = level_arrays[lvl]
         d = Decomposition(
-            avg=jnp.zeros((ch, nb), jnp.float32),
+            avg=jnp.zeros((ch, grid.num_blocks), jnp.float32),
             dirA_min=jnp.asarray(eps[0]), dirA_max=jnp.asarray(eps[1]),
             dirB_offset=jnp.asarray(eps[2]), dirB_mag=jnp.asarray(eps[3]),
             dirC_offset=jnp.asarray(eps[4]), dirC_mag=jnp.asarray(eps[5]),

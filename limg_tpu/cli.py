@@ -19,6 +19,10 @@ Flag mapping vs the reference:
                           is the device, not a thread pool)
 - --fixed-grid            use the no-merging encoder (limg_encode3d_test
                           analog) instead of the blocked/merged default
+- --factors N             reduced-factor fast modes: encode with N of the
+                          3 factor axes (1 = A only, 2 = A+B; default 3).
+                          Dropped axes use the shift=8 encoding
+                          (src/limg_bit_crush.h:118-138); BASELINE config 4
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ def _parse_args(argv):
     opts = dict(
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
         count=1, files=[], source=None, list_mode=False, use_pallas=None,
-        diagnose=False, merge_policy="match",
+        diagnose=False, merge_policy="match", num_factors=3,
     )
     if not argv:
         print(__doc__)
@@ -72,6 +76,12 @@ def _parse_args(argv):
         elif a == "--error-factor":
             i += 1
             opts["error_factor"] = int(argv[i])
+        elif a == "--factors":
+            i += 1
+            opts["num_factors"] = int(argv[i])
+            if opts["num_factors"] not in (1, 2, 3):
+                print("--factors must be 1, 2 or 3. Aborting.")
+                sys.exit(1)
         elif a == "--count":
             i += 1
             opts["count"] = int(argv[i])
@@ -121,6 +131,7 @@ def main(argv=None):
     cfg = EncodeConfig(
         error_factor=opts["error_factor"], has_alpha=has_alpha,
         crush_mode=crush_mode if opts["error_factor"] else "none",
+        num_factors=opts["num_factors"],
     )
 
     before = time.perf_counter()
@@ -157,7 +168,10 @@ def main(argv=None):
         d = fit_blocks(px, mask, cfg.channels)
         f8 = quantize_factors(*extract_factors(px, d, cfg.channels))
         shifts, _ = find_shifts(px, mask, f8, d, cfg)
-        print(format_culprits(crush_culprits(px, mask, f8, d, shifts, cfg)))
+        merge_stats = None if opts["fixed_grid"] else out.get("merge_stats")
+        print(format_culprits(
+            crush_culprits(px, mask, f8, d, shifts, cfg), merge_stats
+        ))
 
     if opts["write_output"]:
         write_tga("limg_out.tga", out["decoded"])
@@ -207,7 +221,7 @@ def _run_list_mode(opts, crush_mode):
 
     use_pallas = opts["use_pallas"]
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu" and crush_mode == "ladder"
+        use_pallas = jax.default_backend() != "cpu"
     perf_step = encode_perf_step_pallas if use_pallas else encode_perf_step
 
     files = opts["files"]
@@ -222,7 +236,7 @@ def _run_list_mode(opts, crush_mode):
         image, has_alpha = load_image(path)
         cfg = EncodeConfig(
             error_factor=opts["error_factor"], has_alpha=has_alpha,
-            crush_mode=crush_mode,
+            crush_mode=crush_mode, num_factors=opts["num_factors"],
         )
         img_d = jax.device_put(jnp.asarray(image))
         key = jax.random.PRNGKey(0)

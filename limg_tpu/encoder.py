@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .config import BLOCK_SIZE, EncodeConfig, static_block_bits
 from .ops import layout
-from .ops.fit import Decomposition, fit_blocks
+from .ops.fit import Decomposition, drop_decomposition_axes, fit_blocks
 from .ops.factors import extract_factors, quantize_factors
 from .ops.crush import find_shifts
 from .ops.dither import dither_crush
@@ -49,7 +49,11 @@ def encode_blocks(px_u8: jnp.ndarray, mask: jnp.ndarray, cfg: EncodeConfig,
 
     if cfg.num_factors < 3:
         # Reduced-factor fast modes: statically drop axes C (and B) via the
-        # shift=8 encoding that decode already understands.
+        # shift=8 encoding that decode already understands. The endpoints
+        # are zeroed *before* the search so candidate evaluation includes
+        # the drop-induced error; the forced max only fixes the stored
+        # shift / bits accounting (decode is unchanged: normals are zero).
+        d = drop_decomposition_axes(d, cfg.num_factors)
         nb = px_u8.shape[-1]
         forced = jnp.asarray(
             [0] * cfg.num_factors + [8] * (3 - cfg.num_factors), jnp.int32
@@ -185,7 +189,9 @@ def encode_image(image, cfg: EncodeConfig, seed: int = 0,
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu" and cfg.crush_mode in ("ladder", "none")
+        # all crush modes run in-kernel now; CPU still uses the jnp path
+        # (the kernel would run in the slow Pallas interpreter there)
+        use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
         decoded, res = _encode_image_device_pallas(image, cfg, key)
     else:

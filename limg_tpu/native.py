@@ -55,6 +55,17 @@ def _lib():
     ]
     lib.limg_rt_pool_await.argtypes = [ctypes.c_void_p]
     lib.limg_rt_max_threads.restype = ctypes.c_int64
+    if hasattr(lib, "limg_rt_rans_encode"):
+        lib.limg_rt_rans_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.limg_rt_rans_encode.restype = ctypes.c_int64
+        lib.limg_rt_rans_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.limg_rt_rans_decode.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -184,3 +195,113 @@ class StagingPool:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# rANS entropy codec (LTP1 v3 factor planes). Native fast path; the NumPy
+# fallback implements the identical 32-bit-state / byte-renorm / 12-bit-probs
+# coder so streams are interchangeable between the two.
+# ---------------------------------------------------------------------------
+
+RANS_PROB_BITS = 12
+RANS_PROB_SCALE = 1 << RANS_PROB_BITS
+_RANS_LOW = 1 << 23
+
+
+def rans_quantize_freqs(counts: np.ndarray) -> np.ndarray:
+    """Histogram (256,) -> quantized freqs summing to RANS_PROB_SCALE,
+    every occurring symbol >= 1."""
+    counts = np.asarray(counts, np.int64)
+    total = counts.sum()
+    if total == 0:
+        f = np.zeros(256, np.uint32)
+        f[0] = RANS_PROB_SCALE
+        return f
+    f = np.maximum((counts * RANS_PROB_SCALE) // total, (counts > 0).astype(np.int64))
+    # fix drift on the largest symbol (guaranteed to stay >= 1)
+    drift = int(f.sum()) - RANS_PROB_SCALE
+    order = np.argsort(-f)
+    i = 0
+    while drift != 0:
+        j = order[i % 256]
+        if drift > 0 and f[j] > 1:
+            take = min(drift, int(f[j]) - 1)
+            f[j] -= take
+            drift -= take
+        elif drift < 0 and f[j] > 0:
+            f[j] += -drift
+            drift = 0
+        i += 1
+    return f.astype(np.uint32)
+
+
+def rans_encode(syms: np.ndarray, freqs: np.ndarray) -> bytes:
+    syms = np.ascontiguousarray(syms, np.uint8)
+    freqs = np.ascontiguousarray(freqs, np.uint32)
+    n = syms.size
+    lib = _lib()
+    if lib is not None and hasattr(lib, "limg_rt_rans_encode"):
+        out = np.empty(2 * n + 64, np.uint8)
+        written = lib.limg_rt_rans_encode(
+            syms.ctypes.data, n, freqs.ctypes.data, out.ctypes.data, out.size
+        )
+        if written < 0:
+            raise ValueError(f"rans encode failed: {written}")
+        return out[:written].tobytes()
+    # Python fallback (slow; fine for small images / tests)
+    starts = np.zeros(257, np.uint32)
+    starts[1:] = np.cumsum(freqs)
+    if starts[256] != RANS_PROB_SCALE:
+        raise ValueError("bad freqs")
+    rev = bytearray()
+    state = _RANS_LOW
+    fl = freqs.tolist()
+    stl = starts.tolist()
+    for s in syms[::-1].tolist():
+        f = fl[s]
+        x_max = ((_RANS_LOW >> RANS_PROB_BITS) << 8) * f
+        while state >= x_max:
+            rev.append(state & 0xFF)
+            state >>= 8
+        state = ((state // f) << RANS_PROB_BITS) + (state % f) + stl[s]
+    for _ in range(4):
+        rev.append(state & 0xFF)
+        state >>= 8
+    return bytes(rev[::-1])
+
+
+def rans_decode(data: bytes, freqs: np.ndarray, n: int) -> np.ndarray:
+    freqs = np.ascontiguousarray(freqs, np.uint32)
+    buf = np.frombuffer(data, np.uint8)
+    lib = _lib()
+    if lib is not None and hasattr(lib, "limg_rt_rans_decode"):
+        out = np.empty(n, np.uint8)
+        rc = lib.limg_rt_rans_decode(
+            buf.ctypes.data, buf.size, freqs.ctypes.data, out.ctypes.data, n
+        )
+        if rc != 0:
+            raise ValueError(f"rans decode failed: {rc}")
+        return out
+    starts = np.zeros(257, np.uint32)
+    starts[1:] = np.cumsum(freqs)
+    slot_sym = np.repeat(np.arange(256, dtype=np.uint8), freqs)
+    out = np.empty(n, np.uint8)
+    pos = 0
+    state = int.from_bytes(data[:4], "big")
+    pos = 4
+    fl = freqs.tolist()
+    stl = starts.tolist()
+    sl = slot_sym.tolist()
+    for i in range(n):
+        slot = state & (RANS_PROB_SCALE - 1)
+        s = sl[slot]
+        out[i] = s
+        state = fl[s] * (state >> RANS_PROB_BITS) + slot - stl[s]
+        while state < _RANS_LOW:
+            if pos >= len(data):
+                raise ValueError("rans stream truncated")
+            state = (state << 8) | data[pos]
+            pos += 1
+    if state != _RANS_LOW:
+        raise ValueError("rans stream corrupt")
+    return out

@@ -75,14 +75,37 @@ def evaluate_shifts(px, mask_i, f8, d: Decomposition, shifts, channels: int):
     return _triple_errors(px, mask_i, f8, normals, mins, shifts)
 
 
-def _admissible(pix_max, block_err, count, cfg: EncodeConfig, err_scale: int = 0):
-    pix_ok = pix_max <= cfg.max_pixel_bit_crush_error
-    if err_scale == 0:
-        # exact integer comparison (bit parity with golden/kernel)
-        return pix_ok & (block_err * 0x10 < cfg.max_block_bit_crush_error * count)
-    # pre-scaled big regions: both sides can exceed int32, compare in f32
-    lhs = block_err.astype(jnp.float32) * float(0x10 << err_scale)
-    rhs = count.astype(jnp.float32) * float(cfg.max_block_bit_crush_error)
+def _admissible(pix_max, block_err, count, cfg: EncodeConfig, err_scale: int = 0,
+                floors=None):
+    """Shift-triple admissibility (limg_encode_try_bit_crush_block_3d_).
+
+    ``floors``: optional (pix_floor, blk_floor) -- the errors at zero shifts.
+    Used by the reduced-factor modes (num_factors < 3): the statically
+    dropped axes leave an irreducible reconstruction error, so the
+    thresholds bound the quantization error *increment* above that floor
+    instead of the absolute error (otherwise nothing would be admissible on
+    non-flat content and every factor would stay at 8 bits). With floors
+    None (the full 3-axis path) the comparison is bit-identical to the
+    reference's absolute test."""
+    max_pix = cfg.max_pixel_bit_crush_error
+    max_blk = cfg.max_block_bit_crush_error
+    if floors is None:
+        pix_ok = pix_max <= max_pix
+        if err_scale == 0:
+            # exact integer comparison (bit parity with golden/kernel)
+            return pix_ok & (block_err * 0x10 < max_blk * count)
+        # pre-scaled big regions: both sides can exceed int32, compare in f32
+        lhs = block_err.astype(jnp.float32) * float(0x10 << err_scale)
+        rhs = count.astype(jnp.float32) * float(max_blk)
+        return pix_ok & (lhs < rhs)
+    pix_floor, blk_floor = floors
+    pix_ok = pix_max <= max_pix + pix_floor
+    scale = float(0x10 << err_scale)
+    lhs = block_err.astype(jnp.float32) * scale
+    rhs = (
+        count.astype(jnp.float32) * float(max_blk)
+        + blk_floor.astype(jnp.float32) * scale
+    )
     return pix_ok & (lhs < rhs)
 
 
@@ -91,19 +114,20 @@ def _all_triples() -> np.ndarray:
     return np.stack([a.ravel(), b.ravel(), c.ravel()], axis=1).astype(np.int32)  # (729, 3)
 
 
-def _scan_candidates(px, mask_i, f8, d, count, cfg, triples_per_block):
-    """Exact-evaluate K candidate triples per block, select the best.
+def _scan_candidates_core(eval_fn, count, cfg, es, candidates, floors=None):
+    """Exact-evaluate K candidate triples per region, select the best.
 
-    triples_per_block: (K, 3, NB) i32. Candidates must be ordered so that, on
-    equal (total, block_err), the *later* candidate is the preferred
-    (lexicographically larger) one. Returns (shifts (3, NB), block_err (NB,)).
+    ``eval_fn(shifts (3, N)) -> (pix_max (N,), block_err (N,))`` defines the
+    region granularity (plain blocks or coalesced segments).
+    ``candidates``: (K, 3, N) i32, ordered so that on equal
+    (total, block_err) the *later* candidate is the preferred
+    (lexicographically larger) one. Returns (shifts (3, N), block_err (N,)).
     """
-    channels = px.shape[0]
 
     def body(carry, shifts):
         best_s, best_total, best_err = carry
-        pix_max, block_err = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
-        ok = _admissible(pix_max, block_err, count, cfg, _err_scale_shift(px.shape[1]))
+        pix_max, block_err = eval_fn(shifts)
+        ok = _admissible(pix_max, block_err, count, cfg, es, floors)
         total = jnp.minimum(shifts, 8).sum(axis=0)
         take = ok & ((total > best_total) | ((total == best_total) & (block_err <= best_err)))
         best_s = jnp.where(take, shifts, best_s)
@@ -111,37 +135,34 @@ def _scan_candidates(px, mask_i, f8, d, count, cfg, triples_per_block):
         best_err = jnp.where(take, block_err, best_err)
         return (best_s, best_total, best_err), None
 
-    nb = px.shape[-1]
+    n = candidates.shape[-1]
     init = (
-        jnp.zeros((3, nb), jnp.int32),
-        jnp.full((nb,), -1, jnp.int32),
-        jnp.full((nb,), 2**31 - 1, jnp.int32),
+        jnp.zeros((3, n), jnp.int32),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), 2**31 - 1, jnp.int32),
     )
-    (best_s, _, best_err), _ = lax.scan(body, init, triples_per_block)
+    (best_s, _, best_err), _ = lax.scan(body, init, candidates)
     return best_s, best_err
 
 
-def find_shifts_exhaustive(px, mask_i, f8, d, count, cfg: EncodeConfig):
+def exhaustive_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
     """All 729 triples, ascending lex order (ties -> later/larger wins)."""
-    nb = px.shape[-1]
-    per_block = jnp.broadcast_to(jnp.asarray(_all_triples())[:, :, None], (729, 3, nb))
-    return _scan_candidates(px, mask_i, f8, d, count, cfg, per_block)
+    cand = jnp.broadcast_to(jnp.asarray(_all_triples())[:, :, None], (729, 3, n))
+    return _scan_candidates_core(eval_fn, count, cfg, es, cand, floors)
 
 
-def find_shifts_guess(px, mask_i, f8, d, count, cfg: EncodeConfig):
+def guess_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
     """The reference's canned-guess acceptance logic, batched.
 
     if ok(4,5,6): pick (5,8,8) if ok else (4,6,8) if ok else (4,5,6)
     else:         pick (2,4,5) if ok else (0,0,0)
     (src/limg_bit_crush.h:332-392)
     """
-    channels = px.shape[0]
-    nb = px.shape[-1]
     oks, errs = [], []
     for t in GUESS_TRIPLES:
-        shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, nb))
-        pix_max, block_err = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
-        oks.append(_admissible(pix_max, block_err, count, cfg, _err_scale_shift(px.shape[1])))
+        shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, n))
+        pix_max, block_err = eval_fn(shifts)
+        oks.append(_admissible(pix_max, block_err, count, cfg, es, floors))
         errs.append(block_err)
     t456, t588, t468, t245 = [jnp.asarray(t, jnp.int32)[:, None] for t in GUESS_TRIPLES]
     zero = jnp.zeros((3, 1), jnp.int32)
@@ -156,7 +177,7 @@ def find_shifts_guess(px, mask_i, f8, d, count, cfg: EncodeConfig):
     return shifts, err
 
 
-def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
+def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
     """Additive-model ranking over a boxed lattice + exact top-K verify.
 
     Stage 1: 27 exact evaluations -- each axis alone at shifts 0..8 (other
@@ -168,8 +189,6 @@ def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
     shift, -approx error) in one int32 key. Stage 3: exact verification of
     the top-K; (0,0,0) if none verifies.
     """
-    channels = px.shape[0]
-    nb = px.shape[-1]
     k = cfg.ladder_k
 
     # Stage 1: per-axis sweeps.
@@ -180,26 +199,26 @@ def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
         for s in range(9):
             t = [0, 0, 0]
             t[axis] = s
-            shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, nb))
-            pm, be = evaluate_shifts(px, mask_i, f8, d, shifts, channels)
+            shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, n))
+            pm, be = eval_fn(shifts)
             pix_s.append(pm)
             blk_s.append(be)
-        pix_axis.append(jnp.stack(pix_s))  # (9, NB)
+        pix_axis.append(jnp.stack(pix_s))  # (9, N)
         blk_axis.append(jnp.stack(blk_s))
     err0 = blk_axis[0][0]                  # error at (0,0,0)
     pix0 = pix_axis[0][0]
-    d_blk = [b - b[0][None] for b in blk_axis]   # (9, NB) deltas
+    d_blk = [b - b[0][None] for b in blk_axis]   # (9, N) deltas
     d_pix = [p - p[0][None] for p in pix_axis]
 
     # Stage 2: per-axis base + boxed candidates.
-    es = _err_scale_shift(px.shape[1])
     s_iota = jnp.arange(9, dtype=jnp.int32)[:, None]
     base = []
     for axis in range(3):
-        adm_ax = _admissible(pix_axis[axis], blk_axis[axis], count[None], cfg, es)
-        base.append(jnp.max(jnp.where(adm_ax, s_iota, 0), axis=0))  # (NB,)
+        adm_ax = _admissible(pix_axis[axis], blk_axis[axis], count[None], cfg, es,
+                             None if floors is None else (floors[0][None], floors[1][None]))
+        base.append(jnp.max(jnp.where(adm_ax, s_iota, 0), axis=0))  # (N,)
 
-    # candidate shifts per axis and offset: (4, NB)
+    # candidate shifts per axis and offset: (4, N)
     offs = jnp.arange(4, dtype=jnp.int32)[:, None]
     s_cand = [jnp.maximum(b[None] - offs, 0) for b in base]
     d_blk_at = [jnp.take_along_axis(d_blk[ax], s_cand[ax], axis=0) for ax in range(3)]
@@ -208,23 +227,62 @@ def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
     def lattice(vals):
         return (
             vals[0][:, None, None] + vals[1][None, :, None] + vals[2][None, None, :]
-        ).reshape(64, nb)
+        ).reshape(64, n)
 
     approx_blk = err0[None] + lattice(d_blk_at)
     approx_pix = pix0[None] + lattice(d_pix_at)
     totals = lattice(s_cand)
-    adm = _admissible(approx_pix, approx_blk, count[None], cfg, es).astype(jnp.int32)
+    adm = _admissible(approx_pix, approx_blk, count[None], cfg, es,
+                      None if floors is None else (floors[0][None], floors[1][None])).astype(jnp.int32)
     err_packed = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
-    key = (adm << 30) + (totals << 25) + err_packed             # (64, NB)
+    key = (adm << 30) + (totals << 25) + err_packed             # (64, N)
 
-    _, top_idx = lax.top_k(key.T, k)                            # (NB, K)
+    _, top_idx = lax.top_k(key.T, k)                            # (N, K)
     # evaluate worst-ranked first so the best-ranked wins ties in the scan
-    top_idx = top_idx[:, ::-1].T                                # (K, NB)
+    top_idx = top_idx[:, ::-1].T                                # (K, N)
     o = [top_idx // 16, (top_idx // 4) % 4, top_idx % 4]
     cand = jnp.stack(
         [jnp.maximum(base[ax][None] - o[ax], 0) for ax in range(3)], axis=1
-    ).astype(jnp.int32)                                         # (K, 3, NB)
-    return _scan_candidates(px, mask_i, f8, d, count, cfg, cand)
+    ).astype(jnp.int32)                                         # (K, 3, N)
+    return _scan_candidates_core(eval_fn, count, cfg, es, cand, floors)
+
+
+def _block_eval_fn(px, mask_i, f8, d, channels):
+    return lambda shifts: evaluate_shifts(px, mask_i, f8, d, shifts, channels)
+
+
+def _floors_for(eval_fn, n, cfg: EncodeConfig):
+    """Zero-shift error floors when statically dropped axes are in play."""
+    if cfg.num_factors >= 3:
+        return None
+    return eval_fn(jnp.zeros((3, n), jnp.int32))
+
+
+def find_shifts_exhaustive(px, mask_i, f8, d, count, cfg: EncodeConfig):
+    eval_fn = _block_eval_fn(px, mask_i, f8, d, px.shape[0])
+    n = px.shape[-1]
+    return exhaustive_core(
+        eval_fn, count, cfg, _err_scale_shift(px.shape[1]), n,
+        _floors_for(eval_fn, n, cfg),
+    )
+
+
+def find_shifts_guess(px, mask_i, f8, d, count, cfg: EncodeConfig):
+    eval_fn = _block_eval_fn(px, mask_i, f8, d, px.shape[0])
+    n = px.shape[-1]
+    return guess_core(
+        eval_fn, count, cfg, _err_scale_shift(px.shape[1]), n,
+        _floors_for(eval_fn, n, cfg),
+    )
+
+
+def find_shifts_ladder(px, mask_i, f8, d, count, cfg: EncodeConfig):
+    eval_fn = _block_eval_fn(px, mask_i, f8, d, px.shape[0])
+    n = px.shape[-1]
+    return ladder_core(
+        eval_fn, count, cfg, _err_scale_shift(px.shape[1]), n,
+        _floors_for(eval_fn, n, cfg),
+    )
 
 
 def find_shifts(px_u8, mask, f8_u8, d: Decomposition, cfg: EncodeConfig):

@@ -39,6 +39,23 @@ def _fast_round(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
+def drop_decomposition_axes(d: Decomposition, num_factors: int) -> Decomposition:
+    """Zero the endpoints of statically dropped axes (reduced-factor modes).
+
+    Dropping axis k is the shift=8 encoding (normals and B/C offsets zeroed,
+    src/limg_bit_crush.h:118-138). Zeroing the endpoints *before* the crush
+    search makes every candidate evaluation include the drop-induced error,
+    so the live axes' shifts are chosen against the true reconstruction.
+    Mirrored in the Pallas kernel (_apply_num_factors)."""
+    if num_factors >= 3:
+        return d
+    zero = jnp.zeros_like(d.dirC_offset)
+    d = d._replace(dirC_offset=zero, dirC_mag=zero)
+    if num_factors < 2:
+        d = d._replace(dirB_offset=zero, dirB_mag=zero)
+    return d
+
+
 def _signed_unit_mean(v: jnp.ndarray, mask: jnp.ndarray, inv_count: jnp.ndarray) -> jnp.ndarray:
     """Mean over pixels of sign-corrected unit vectors.
 

@@ -52,14 +52,20 @@ class KernelSpec:
     crush: bool
     dither: bool
     ladder_k: int
+    crush_mode: str = "ladder"   # "ladder" | "exhaustive" | "guess"
+    num_factors: int = 3         # reduced-factor fast modes (1/2/3 axes)
 
     @classmethod
     def from_config(cls, cfg: EncodeConfig) -> "KernelSpec":
+        mode = cfg.crush_mode if cfg.crush_mode in (
+            "ladder", "exhaustive", "guess") else "ladder"
         return cls(
             channels=cfg.channels,
             crush=cfg.crush_bits,
             dither=cfg.dithering and cfg.crush_bits,
             ladder_k=cfg.ladder_k,
+            crush_mode=mode,
+            num_factors=cfg.num_factors,
         )
 
 # kernel geometry per region pixel count: (sublane pixels, lane chunks,
@@ -112,6 +118,27 @@ class _Reducer:
 
 # dequant multiplier (1 << s) + bit-replication bias, s = 0..8
 _MULT = (1, 2, 4, 8, 17, 36, 85, 255, 0)
+
+# canned guess triples (src/limg_bit_crush.h:332-392)
+_GUESS_TRIPLES = ((4, 5, 6), (5, 8, 8), (4, 6, 8), (2, 4, 5))
+
+
+def _apply_num_factors(endpoints, num_factors: int):
+    """Zero the endpoints of statically dropped axes (reduced-factor modes).
+
+    Dropping axis k is the shift=8 encoding (normals and B/C offsets zeroed,
+    src/limg_bit_crush.h:118-138); zeroing the endpoints *before* the crush
+    search makes the search's error evaluation account for the drop, and
+    leaves the dropped axis's error flat in its shift so the rank reduction
+    naturally picks s=8. Must mirror ops.fit.drop_decomposition_axes."""
+    if num_factors >= 3:
+        return endpoints
+    ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = endpoints
+    zero = [jnp.zeros_like(v) for v in ic_off]
+    ic_off, ic_mag = zero, zero
+    if num_factors < 2:
+        ib_off, ib_mag = zero, zero
+    return (ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag)
 
 
 def _unpack_channels(packed, channels):
@@ -346,7 +373,78 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
     t = packed.shape[-1]
     zero_row = jnp.zeros((1, t), jnp.int32)
 
-    if crush:
+    # Reduced-factor modes: admissibility is relative to the zero-shift
+    # error floor left by the statically dropped axes (see ops.crush
+    # _admissible floors doc). num_factors == 3 keeps the exact reference
+    # comparison (floor_pix is None) for bit parity.
+    if crush and spec.num_factors < 3:
+        floor_pix, floor_blk = crush_eval([zero_row, zero_row, zero_row])
+    else:
+        floor_pix = floor_blk = None
+
+    def adm(pm, be):
+        if floor_pix is None:
+            return (pm <= max_pix) & blk_ok(be, count)
+        pix_ok = pm <= max_pix + floor_pix
+        scale = float(0x10 << es)
+        lhs = be.astype(jnp.float32) * scale
+        rhs = (
+            count.astype(jnp.float32) * max_blk.astype(jnp.float32)
+            + floor_blk.astype(jnp.float32) * scale
+        )
+        return pix_ok & (lhs < rhs)
+
+    if crush and spec.crush_mode == "exhaustive":
+        # ---- all 729 triples, exact (--accurate-bit-crushing) -------------
+        # Ascending lex enumeration with later-wins ties matches the jnp
+        # find_shifts_exhaustive selection rule exactly (maximize total
+        # shift, tie-break min block error, then lexicographically largest).
+        def exh_body(i, carry):
+            bs0, bs1, bs2, b_tot, b_err = carry
+            sa = jnp.full((1, t), i // 81, jnp.int32)
+            sb = jnp.full((1, t), (i // 9) % 9, jnp.int32)
+            sc = jnp.full((1, t), i % 9, jnp.int32)
+            pm, be = crush_eval([sa, sb, sc])
+            ok = adm(pm, be)
+            total = sa + sb + sc
+            take = ok & ((total > b_tot) | ((total == b_tot) & (be <= b_err)))
+            bs0 = jnp.where(take, sa, bs0)
+            bs1 = jnp.where(take, sb, bs1)
+            bs2 = jnp.where(take, sc, bs2)
+            b_tot = jnp.where(take, total, b_tot)
+            b_err = jnp.where(take, be, b_err)
+            return bs0, bs1, bs2, b_tot, b_err
+
+        init = (
+            zero_row, zero_row, zero_row,
+            jnp.full((1, t), -1, jnp.int32),
+            jnp.full((1, t), 2**31 - 1, jnp.int32),
+        )
+        s0, s1, s2, _, _ = lax.fori_loop(0, 729, exh_body, init)
+        shifts = [s0, s1, s2]
+    elif crush and spec.crush_mode == "guess":
+        # ---- the reference's canned-guess acceptance logic ----------------
+        # if ok(4,5,6): pick (5,8,8) if ok else (4,6,8) if ok else (4,5,6)
+        # else:         pick (2,4,5) if ok else (0,0,0)
+        oks = []
+        for tpl in _GUESS_TRIPLES:
+            s = [jnp.full((1, t), v, jnp.int32) for v in tpl]
+            pm, be = crush_eval(s)
+            oks.append(adm(pm, be))
+
+        def row(v):
+            return jnp.full((1, t), v, jnp.int32)
+
+        shifts = []
+        for k in range(3):
+            hi = jnp.where(
+                oks[1], row(_GUESS_TRIPLES[1][k]),
+                jnp.where(oks[2], row(_GUESS_TRIPLES[2][k]),
+                          row(_GUESS_TRIPLES[0][k])),
+            )
+            lo = jnp.where(oks[3], row(_GUESS_TRIPLES[3][k]), zero_row)
+            shifts.append(jnp.where(oks[0], hi, lo))
+    elif crush:
         # ---- 27 per-axis sweeps ------------------------------------------
         # (The zero-shift contributions of the two idle axes are common
         # subexpressions across the unrolled sweep; Mosaic CSEs them, and
@@ -376,7 +474,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         iota9 = lax.broadcasted_iota(jnp.int32, (9, t), 0)
         base = []
         for axis in range(3):
-            adm_ax = (pix_ax[axis] <= max_pix) & blk_ok(blk_ax[axis], count)
+            adm_ax = adm(pix_ax[axis], blk_ax[axis])
             base.append(
                 jnp.max(jnp.where(adm_ax, iota9, 0), axis=0, keepdims=True)
             )                                               # (1, T)
@@ -403,11 +501,9 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         approx_blk = err0 + lattice(db_at)
         approx_pix = pix0 + lattice(dp_at)
         totals = lattice(sv_at)
-        adm = (
-            (approx_pix <= max_pix) & blk_ok(approx_blk, count)
-        ).astype(jnp.int32)
+        adm_lat = adm(approx_pix, approx_blk).astype(jnp.int32)
         err_pack = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
-        key = (adm << 30) + (totals << 25) + err_pack       # (64, T)
+        key = (adm_lat << 30) + (totals << 25) + err_pack   # (64, T)
         iota64 = lax.broadcasted_iota(jnp.int32, (64, t), 0)
 
         def round_body(_, carry):
@@ -420,7 +516,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
             sb = jnp.maximum(base[1] - (idx // 4) % 4, 0)
             sc = jnp.maximum(base[2] - idx % 4, 0)
             pm, be = crush_eval([sa, sb, sc])
-            ok = (pm <= max_pix) & blk_ok(be, count)
+            ok = adm(pm, be)
             total = sa + sb + sc
             take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
             bs0 = jnp.where(take, sa, bs0)
@@ -441,6 +537,12 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         shifts = [s0, s1, s2]
     else:
         shifts = [zero_row, zero_row, zero_row]
+
+    # statically dropped axes always store shift 8 (their endpoints were
+    # zeroed before the search so this changes no decode result, only the
+    # stored shift / bits accounting)
+    for k in range(spec.num_factors, 3):
+        shifts[k] = jnp.maximum(shifts[k], 8)
 
     # ---- dither + crush (ops/dither.py) ----------------------------------
     if dither:
@@ -498,6 +600,7 @@ def _make_mono_kernel(spec: KernelSpec, emit_endpoints: bool, chunks: int):
         mask_i = mask_ref[...]
         red = _Reducer(chunks, packed.shape[-1])
         f8, endpoints, count, avg = _fit_and_factors(packed, mask_i, channels, red)
+        endpoints = _apply_num_factors(endpoints, spec.num_factors)
         shifts, q, dec, dist = _crush_dither_decode(
             packed, mask_i, f8, endpoints, count, spec, params_ref, red
         )
@@ -521,6 +624,7 @@ def _make_fit_kernel(spec: KernelSpec, chunks: int):
         mask_i = mask_ref[...]
         red = _Reducer(chunks, packed.shape[-1])
         f8, endpoints, _, avg = _fit_and_factors(packed, mask_i, channels, red)
+        endpoints = _apply_num_factors(endpoints, spec.num_factors)
         f8_ref[...] = f8[0] + (f8[1] << 8) + (f8[2] << 16)
         for ref, rows in zip(ep_refs[:6], endpoints):
             ref[...] = jnp.concatenate(rows, axis=0)
@@ -569,8 +673,10 @@ def encode_blocks_pallas(packed_px: jnp.ndarray, mask: jnp.ndarray,
     [, endpoints 6 x (ch, NB) i32 + avg (ch, NB) f32 when emit_endpoints]).
     NB is padded to the lane tile internally. The error thresholds travel
     as traced scalars, so changing error_factor reuses the compiled kernel.
-    Note: the kernel always runs the ladder search when crushing is enabled;
-    cfg.crush_mode "guess"/"exhaustive" are jnp-path-only granularities.
+    All crush modes run in-kernel: "ladder" (default), "exhaustive" (729
+    exact evaluations, --accurate-bit-crushing), and "guess" (the canned
+    triples); reduced-factor modes (cfg.num_factors < 3) zero the dropped
+    axes before the search and force their stored shift to 8.
     """
     kspec = KernelSpec.from_config(cfg)
     params = jnp.stack([

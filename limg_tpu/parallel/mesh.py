@@ -138,6 +138,55 @@ def encode_corpus_sharded(images, cfg: EncodeConfig, n_devices: int | None = Non
     }
 
 
+def encode_corpus_sharded_mixed(images, cfg: EncodeConfig,
+                                n_devices: int | None = None, seed: int = 0,
+                                use_pallas: bool = False):
+    """Mixed-size corpus encode: bucket by shape, shard each bucket.
+
+    A real corpus has many resolutions; XLA needs static shapes, so images
+    are grouped into (H, W, C) buckets (SURVEY.md section 7 step 7), each
+    bucket padded to a multiple of the mesh size by repeating its last image
+    and encoded with :func:`encode_corpus_sharded`. Pad entries are dropped
+    from the results, so per-image stats and the corpus mean stay exact.
+
+    ``images``: list of (H, W, C) uint8 arrays and/or file paths. Returns
+    per-image psnr/bpp in input order + exact corpus mean psnr.
+    """
+    import os
+
+    arrs = []
+    for im in images:
+        if isinstance(im, (str, os.PathLike)):
+            from ..io import load_image
+
+            im, _ = load_image(im)
+        arrs.append(np.asarray(im))
+
+    buckets: dict[tuple, list[int]] = {}
+    for i, a in enumerate(arrs):
+        buckets.setdefault(a.shape, []).append(i)
+
+    mesh_n = n_devices if n_devices is not None else len(jax.devices())
+    psnr = np.zeros(len(arrs), np.float64)
+    bpp = np.zeros(len(arrs), np.float64)
+    for shape, idxs in sorted(buckets.items()):
+        batch = np.stack([arrs[i] for i in idxs])
+        pad = (-len(idxs)) % mesh_n
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        out = encode_corpus_sharded(
+            batch, cfg, n_devices=n_devices, seed=seed, use_pallas=use_pallas
+        )
+        psnr[idxs] = out["psnr"][: len(idxs)]
+        bpp[idxs] = out["bpp"][: len(idxs)]
+    return {
+        "psnr": psnr,
+        "bpp": bpp,
+        "mean_psnr": float(psnr.mean()) if len(arrs) else 0.0,
+        "buckets": {str(k): len(v) for k, v in buckets.items()},
+    }
+
+
 def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None = None,
                                 seed: int = 0, use_pallas: bool = False):
     """Single-image encode with the *block* axis sharded across chips.

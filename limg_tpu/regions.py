@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .config import BLOCK_SIZE, EncodeConfig, static_block_bits
 from .ops import layout
-from .ops.fit import Decomposition
+from .ops.fit import Decomposition, drop_decomposition_axes
 from .ops.match import match_decomps
 from .encoder import encode_blocks
 
@@ -197,6 +197,7 @@ def rd_merge_keep(levels, grids, num_levels: int, lam: float,
 
     best = [cost_of(0)]
     keep = [jnp.ones_like(best[0], bool)]
+    stats = []
     for lvl in range(1, num_levels):
         gy, gx = grids[lvl - 1].blocks_y, grids[lvl - 1].blocks_x
         idx, valid = _child_indices(gy, gx)
@@ -207,31 +208,243 @@ def rd_merge_keep(levels, grids, num_levels: int, lam: float,
         merged = jnp.asarray(valid.all(axis=0)) & (own <= child_best)
         keep.append(merged)
         best.append(jnp.where(merged, own, child_best))
-    return keep
+        # kept/child-cost breakdown (the RD analog of merge culprits)
+        stats.append({
+            "kept": merged.sum(),
+            "rd_cost_saved": jnp.where(merged, child_best - own, 0.0).sum(),
+            "cost_reject": ((~merged) & jnp.asarray(valid.all(axis=0))).sum(),
+        })
+    return keep, stats
+
+
+def _slice_decomp_2d(d: Decomposition, gy: int, gx: int, sl_y, sl_x) -> Decomposition:
+    """Slice a (ch, gy*gx) decomposition on its 2-D grid -> flattened again."""
+    def f(v):
+        return v.reshape(*v.shape[:-1], gy, gx)[..., sl_y, sl_x].reshape(*v.shape[:-1], -1)
+    return Decomposition(*(f(v) for v in d))
+
+
+def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
+    """Coalesce owned grid cells into horizontal runs (plus vertical runs of
+    horizontal singletons) of matching neighbors.
+
+    The TPU replacement for the reference's greedy rectangle growth
+    (src/limg.cpp:1294-1496): instead of a serial 4-direction grower, link
+    each owned cell to its left (then up) neighbor when the reference's own
+    similarity predicate (ops/match.py) accepts the pair, and resolve run
+    ids with a prefix cummax -- one parallel pass per direction.
+
+    ``owned``: (NB,) bool. Returns (seg_id (NB,) i32 -- the run's first
+    block's flat index; run_len (NB,) i32 per block).
+    """
+    from jax import lax
+    from .ops.segments import SEG_CAP, seg_sum
+
+    gy, gx = grid.blocks_y, grid.blocks_x
+    nb = gy * gx
+    own2 = owned.reshape(gy, gx)
+    idx2 = jnp.arange(nb, dtype=jnp.int32).reshape(gy, gx)
+
+    # -- horizontal runs ---------------------------------------------------
+    if gx > 1:
+        da = _slice_decomp_2d(d_lvl, gy, gx, slice(None), slice(1, None))
+        db = _slice_decomp_2d(d_lvl, gy, gx, slice(None), slice(0, -1))
+        m_left, _ = match_decomps(da, db, channels)               # (gy*(gx-1),)
+        m_left = m_left.reshape(gy, gx - 1)
+        link_left = jnp.zeros((gy, gx), bool).at[:, 1:].set(
+            m_left & own2[:, 1:] & own2[:, :-1]
+        )
+        # cap run length (segment error-accumulator headroom)
+        link_left = link_left & (jnp.arange(gx)[None, :] % SEG_CAP != 0)
+        ids = jnp.where(~link_left, idx2, -1)
+        seg_h = lax.cummax(ids, axis=1).reshape(-1)
+    else:
+        seg_h = idx2.reshape(-1)
+    len_h = seg_sum(jnp.ones((nb,), jnp.int32), seg_h, nb)[seg_h]
+
+    # -- vertical runs of horizontal singletons -----------------------------
+    if gy > 1:
+        elig2 = (owned & (len_h == 1)).reshape(gy, gx)
+        da = _slice_decomp_2d(d_lvl, gy, gx, slice(1, None), slice(None))
+        db = _slice_decomp_2d(d_lvl, gy, gx, slice(0, -1), slice(None))
+        m_up, _ = match_decomps(da, db, channels)
+        m_up = m_up.reshape(gy - 1, gx)
+        link_up = jnp.zeros((gy, gx), bool).at[1:, :].set(
+            m_up & elig2[1:, :] & elig2[:-1, :]
+        )
+        link_up = link_up & (jnp.arange(gy)[:, None] % SEG_CAP != 0)
+        ids_v = jnp.where(~link_up, idx2, -1)
+        seg_v = lax.cummax(ids_v, axis=0).reshape(-1)
+        seg_id = jnp.where(elig2.reshape(-1), seg_v, seg_h)
+    else:
+        seg_id = seg_h
+    run_len = seg_sum(jnp.ones((nb,), jnp.int32), seg_id, nb)[seg_id]
+    return seg_id, run_len
+
+
+def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
+                         cfg: EncodeConfig, key, bsz: int,
+                         merge_policy: str, rd_lambda: float,
+                         cap_frac: int = 4):
+    """Refit + re-encode coalesced runs at one level, updating ``lv``.
+
+    Run blocks are compacted into a fixed-capacity buffer (static shapes;
+    capacity = NB/cap_frac, so photo content with few runs pays almost
+    nothing) and encoded with segment reductions (ops/segments.py). Returns
+    the updated level dict plus per-block (applied, region_id) arrays.
+    """
+    from .ops.segments import (
+        fit_segments, find_shifts_segments, gather_decomp, seg_sum,
+    )
+    from .ops.factors import extract_factors, quantize_factors
+    from .ops.dither import dither_crush
+    from .ops.decode import decode_blocks
+    from .ops.error import weighted_error
+
+    ch = cfg.channels
+    px, mask, _ = layout.blockify(image, bsz)
+    nb = px.shape[-1]
+    d_lvl = lv["decomp"]
+    seg_id, run_len = build_runs(d_lvl, owned, grid, ch)
+    is_run = owned & (run_len >= 2)
+
+    # -- compact run blocks into a fixed-capacity buffer --------------------
+    cap = nb if nb <= 256 else max(256, nb // cap_frac)
+    order = jnp.argsort(~is_run, stable=True)                    # runs first
+    sel = order[:cap]                                            # (cap,)
+    sel_is_run = is_run[sel]
+    px_c = px[:, :, sel]
+    mask_c = mask[:, sel] & sel_is_run[None, :]
+    seg_orig = seg_id[sel]                                       # original ids
+    # dense remap: new id = first position of the segment inside the buffer
+    first_pos = jnp.full((nb,), cap, jnp.int32).at[seg_orig].min(
+        jnp.arange(cap, dtype=jnp.int32)
+    )
+    seg_c = first_pos[seg_orig]                                  # (cap,) in [0, cap]
+    seg_c = jnp.minimum(seg_c, cap - 1)
+
+    # runs split by the capacity boundary (or not selected at all) revert
+    len_c = seg_sum(sel_is_run.astype(jnp.int32), seg_c, cap)
+    ok_c = sel_is_run & (len_c[seg_c] == run_len[sel])
+
+    # -- segment refit + factor extraction + crush + decode -----------------
+    d_seg = fit_segments(px_c, mask_c, seg_c, cap, ch)
+    if cfg.num_factors < 3:
+        d_seg = drop_decomposition_axes(d_seg, cfg.num_factors)
+    d_blk = gather_decomp(d_seg, seg_c)
+    f8_u8 = quantize_factors(*extract_factors(px_c, d_blk, ch))
+    shifts_seg, _ = find_shifts_segments(px_c, mask_c, f8_u8, d_seg, seg_c, cap, cfg)
+    if cfg.num_factors < 3:
+        forced = jnp.asarray(
+            [0] * cfg.num_factors + [8] * (3 - cfg.num_factors), jnp.int32
+        )
+        shifts_seg = jnp.maximum(shifts_seg, forced[:, None])
+    shifts_blk = shifts_seg[:, seg_c]                            # (3, cap)
+    f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
+    q = dither_crush(key, f8, shifts_blk, enabled=cfg.dithering and cfg.crush_bits)
+    decoded = decode_blocks(q, shifts_blk, d_blk, ch)            # (ch, P, cap)
+
+    # -- per-block stats on the compacted buffer -----------------------------
+    mask_ci = mask_c.astype(jnp.int32)
+    count_blk = mask_ci.sum(axis=0)                              # (cap,)
+    err = (weighted_error(decoded, px_c[:ch].astype(jnp.int32)) * mask_ci)
+    dist_blk = err.astype(jnp.float32).sum(axis=0)
+    s_eff = jnp.minimum(shifts_blk, 8)
+    fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)   # (cap,)
+    header = static_block_bits(ch)
+    is_start = jnp.arange(cap, dtype=jnp.int32) == seg_c
+    bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
+    count_seg = seg_sum(count_blk, seg_c, cap)
+    bits_seg = seg_sum(fac_bits_blk, seg_c, cap) + header
+    bpp_seg = jnp.minimum(
+        0xFF, (bits_seg + count_seg // 2) // jnp.maximum(count_seg, 1)
+    )
+
+    # -- acceptance ----------------------------------------------------------
+    # Matching blocks can still cover *shifted* spans of the same color line;
+    # refitting over the union extends the factor range and can cost more
+    # factor bits than the amortized header saves (the reference pays this
+    # silently, src/limg.cpp:1752-1761). Guard: a run is only kept when it
+    # does not increase the bit cost (match policy) / the RD cost (rd).
+    if merge_policy == "rd":
+        dist_seg = seg_sum(dist_blk, seg_c, cap)
+        new_cost = bits_seg.astype(jnp.float32) + rd_lambda * dist_seg
+        old_cost_seg = seg_sum(
+            jnp.where(sel_is_run, lv["bits"][sel].astype(jnp.float32)
+                      + rd_lambda * lv["dist"][sel], 0.0),
+            seg_c, cap,
+        )
+        accept = ok_c & (new_cost <= old_cost_seg)[seg_c]
+    else:
+        old_bits_seg = seg_sum(
+            jnp.where(sel_is_run, lv["bits"][sel], 0), seg_c, cap
+        )
+        accept = ok_c & (bits_seg <= old_bits_seg)[seg_c]
+
+    # -- scatter accepted run results back to the full block arrays ---------
+    def put(dst, src_c):
+        upd = jnp.where(accept, src_c, dst[..., sel])
+        return dst.at[..., sel].set(upd)
+
+    q_packed_c = q[0] + (q[1] << 8) + (q[2] << 16)
+    dec_packed_c = _pack_dec_jnp(decoded, ch)
+    lv = dict(lv)
+    lv["dec_packed"] = put(lv["dec_packed"], dec_packed_c)
+    lv["q_packed"] = put(lv["q_packed"], q_packed_c)
+    lv["shifts"] = put(lv["shifts"], shifts_blk)
+    lv["dist"] = put(lv["dist"], dist_blk)
+    lv["bits"] = put(lv["bits"], bits_blk)
+    lv["bpp_block"] = put(lv["bpp_block"], bpp_seg[seg_c])
+
+    applied = jnp.zeros((nb,), bool).at[sel].set(accept)
+    region_id = jnp.where(applied, seg_id, jnp.arange(nb, dtype=jnp.int32))
+    n_runs = (is_start & accept).sum()
+    return lv, applied, region_id, n_runs
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_levels", "use_pallas", "emit_planes",
-                     "merge_policy", "rd_lambda"),
+                     "merge_policy", "rd_lambda", "coalesce"),
 )
 def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
                                dither_key: jax.Array, num_levels: int = 3,
                                use_pallas: bool = False, emit_planes: bool = True,
                                merge_policy: str = "match",
-                               rd_lambda: float = 0.01):
+                               rd_lambda: float = 0.01,
+                               coalesce: bool = True):
     """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
 
     num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
     every level through the fused kernel (TPU fast path). ``emit_planes=False``
     skips the full-resolution debug planes (factors/shift/bpp/region-id) --
     stats come from per-region reductions instead, which roughly halves the
-    merged encode's device time.
+    merged encode's device time. ``coalesce`` adds the band/rectangle pass:
+    level-0 blocks left unmerged by the quadtree coalesce into horizontal or
+    vertical runs of matching neighbors, refit as one region each (the
+    reference's arbitrary-rectangle growth analog, src/limg.cpp:1294-1496).
     """
     ch = cfg.channels
     h, w = image.shape[:2]
     grids, levels = encode_levels(image, cfg, dither_key, num_levels, use_pallas)
     decomps = [lv["decomp"] for lv in levels]
+
+    if merge_policy == "rd":
+        alive, merge_stats = rd_merge_keep(levels, grids, num_levels, rd_lambda)
+    else:
+        alive, merge_stats = merge_levels_alive(decomps, grids, ch)
+    owner_blocks = _owner_level(alive, grids, num_levels)          # (NB0,)
+    owner_px = layout.broadcast_block_plane(owner_blocks, grids[0], BLOCK_SIZE)
+
+    run_region_id = None
+    n_runs = jnp.zeros((), jnp.int32)
+    if coalesce:
+        owned0 = owner_blocks == 0
+        ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
+        levels[0], run_applied, run_region_id, n_runs = coalesce_level_bands(
+            image, levels[0], grids[0], owned0, cfg, ckey, BLOCK_SIZE,
+            merge_policy, rd_lambda,
+        )
 
     dec_imgs, fac_imgs, shift_imgs, bpp_imgs = [], [], [], []
     for lvl in range(num_levels):
@@ -248,14 +461,6 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
             fac_imgs.append(layout.unblockify(f_shifted.astype(jnp.uint8), grid, bsz))
             shift_imgs.append(layout.broadcast_block_plane(lv["shifts"], grid, bsz))
             bpp_imgs.append(layout.broadcast_block_plane(lv["bpp_block"], grid, bsz))
-
-    if merge_policy == "rd":
-        alive = rd_merge_keep(levels, grids, num_levels, rd_lambda)
-        merge_stats = []
-    else:
-        alive, merge_stats = merge_levels_alive(decomps, grids, ch)
-    owner_blocks = _owner_level(alive, grids, num_levels)          # (NB0,)
-    owner_px = layout.broadcast_block_plane(owner_blocks, grids[0], BLOCK_SIZE)
 
     def select(stack_list, hw_axes):
         """Per-pixel select by owning level. hw_axes: position of (H, W)."""
@@ -310,6 +515,8 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         alive_counts=merged_counts,
         mean_bpp=bpp_weighted / (h * w),
         total_err=total_err,
+        merge_stats=merge_stats,
+        n_runs=n_runs,
     )
     if emit_planes:
         out["factors"] = select(fac_imgs, "hwc")                   # (H, W, 3)
@@ -318,9 +525,11 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         region_ids = []
         offset = 0
         for lvl in range(num_levels):
+            ids_blk = jnp.arange(grids[lvl].num_blocks, dtype=jnp.int32)
+            if lvl == 0 and run_region_id is not None:
+                ids_blk = run_region_id   # run blocks share their start id
             ids = layout.broadcast_block_plane(
-                offset + jnp.arange(grids[lvl].num_blocks, dtype=jnp.int32),
-                grids[lvl], BLOCK_SIZE << lvl,
+                offset + ids_blk, grids[lvl], BLOCK_SIZE << lvl,
             )
             region_ids.append(ids)
             offset += grids[lvl].num_blocks
@@ -330,7 +539,8 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
 
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
                         fetch_planes: bool = True, use_pallas: bool | None = None,
-                        merge_policy: str = "match", rd_lambda: float = 0.01):
+                        merge_policy: str = "match", rd_lambda: float = 0.01,
+                        coalesce: bool = True):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -341,13 +551,10 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() != "cpu"
-            and cfg.crush_mode in ("ladder", "none")
-        )
+        use_pallas = jax.default_backend() != "cpu"
     out = encode_image_merged_device(
         image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,
-        merge_policy=merge_policy, rd_lambda=rd_lambda,
+        merge_policy=merge_policy, rd_lambda=rd_lambda, coalesce=coalesce,
     )
     from .ops.error import max_possible_error
 
@@ -364,6 +571,11 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
         mse=float(mse),
         mean_bpp=float(mean_bpp),
         avg_block_bits=float(np.asarray(out["accum_bits"]).sum() / n),
+        merge_stats=[
+            {k: float(np.asarray(v)) for k, v in s.items()}
+            for s in out["merge_stats"]
+        ],
+        n_runs=int(np.asarray(out["n_runs"])),
     )
     if fetch_planes:
         np_out.update(

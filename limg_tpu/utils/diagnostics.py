@@ -34,13 +34,16 @@ def crush_culprits(px_u8, mask, f8_u8, decomp, shifts, cfg: EncodeConfig):
                     (the greedy reference search would have taken it; for the
                     ladder mode this measures ranking-model misses)
     """
-    from ..ops.crush import evaluate_shifts, _admissible
+    from ..ops.crush import evaluate_shifts, _admissible, _err_scale_shift
 
     ch = cfg.channels
     px = px_u8[:ch].astype(jnp.int32)
     mask_i = mask.astype(jnp.int32)
     count = mask_i.sum(axis=0)
     f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
+    # evaluate_shifts pre-scales the block error on regions >= 2048 px; the
+    # admissibility test must compensate identically (ops/crush.py)
+    es = _err_scale_shift(px.shape[1])
 
     nb = shifts.shape[-1]
     sat = (shifts >= 8).all(axis=0)
@@ -52,12 +55,10 @@ def crush_culprits(px_u8, mask, f8_u8, decomp, shifts, cfg: EncodeConfig):
         bump = jnp.minimum(bump, 8)
         valid = shifts[axis] < 8
         pix_max, block_err = evaluate_shifts(px, mask_i, f8, decomp, bump, ch)
+        ok = _admissible(pix_max, block_err, count, cfg, es) & valid
         pix_fail = (pix_max > cfg.max_pixel_bit_crush_error) & valid
-        blk_fail = (
-            (block_err * 0x10 >= cfg.max_block_bit_crush_error * count)
-            & ~pix_fail & valid
-        )
-        ok = _admissible(pix_max, block_err, count, cfg) & valid
+        # the pixel test passed but admissibility failed => block error binds
+        blk_fail = ~ok & ~pix_fail & valid
         any_pixel |= pix_fail
         any_block |= blk_fail
         any_ok |= ok
@@ -83,7 +84,7 @@ def format_culprits(crush: dict, merge_stats=None) -> str:
         lines.append("-- Block Merge ---------------------------------------")
         for lvl, s in enumerate(merge_stats):
             for k, v in s.items():
-                lines.append("L%d %-19s: %8d" % (lvl + 1, k, int(v)))
+                lines.append("L%d %-19s: %10g" % (lvl + 1, k, float(v)))
     return "\n".join(lines)
 
 

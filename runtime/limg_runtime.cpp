@@ -286,4 +286,87 @@ int64_t limg_rt_max_threads() {
   return (int64_t)std::thread::hardware_concurrency();
 }
 
+// ---------------------------------------------------------------------------
+// rANS entropy codec (order-0, static 12-bit quantized frequencies).
+//
+// Used by the LTP1 v3 bitstream to entropy-code the crushed factor planes --
+// a capability the reference lacks entirely (it has no bitstream; a dead
+// buffer prototype sits at src/limg_internal.h:96-144). 32-bit state, byte
+// renormalization; the encoder walks symbols in reverse and the byte stream
+// is reversed at the end so the decoder reads forward.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t kRansProbBits = 12;
+constexpr uint32_t kRansProbScale = 1u << kRansProbBits;
+constexpr uint32_t kRansLow = 1u << 23;
+
+}  // namespace
+
+// freqs: u32[256], quantized so that sum == 4096 and every symbol that
+// occurs has freq >= 1 (the Python side quantizes). Returns bytes written,
+// or -1 if out_cap is too small.
+int64_t limg_rt_rans_encode(const uint8_t* syms, int64_t n,
+                            const uint32_t* freqs, uint8_t* out,
+                            int64_t out_cap) {
+  uint32_t starts[257];
+  starts[0] = 0;
+  for (int i = 0; i < 256; i++) starts[i + 1] = starts[i] + freqs[i];
+  if (starts[256] != kRansProbScale) return -2;
+
+  std::vector<uint8_t> rev;
+  rev.reserve((size_t)n + 16);
+  uint32_t state = kRansLow;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    const uint32_t s = syms[i];
+    const uint32_t f = freqs[s];
+    const uint32_t x_max = ((kRansLow >> kRansProbBits) << 8) * f;
+    while (state >= x_max) {
+      rev.push_back((uint8_t)(state & 0xFF));
+      state >>= 8;
+    }
+    state = ((state / f) << kRansProbBits) + (state % f) + starts[s];
+  }
+  for (int i = 0; i < 4; i++) {
+    rev.push_back((uint8_t)(state & 0xFF));
+    state >>= 8;
+  }
+  const int64_t total = (int64_t)rev.size();
+  if (total > out_cap) return -1;
+  for (int64_t i = 0; i < total; i++) out[i] = rev[(size_t)(total - 1 - i)];
+  return total;
+}
+
+// Returns 0 on success.
+int limg_rt_rans_decode(const uint8_t* data, int64_t nbytes,
+                        const uint32_t* freqs, uint8_t* out, int64_t n) {
+  uint32_t starts[257];
+  starts[0] = 0;
+  for (int i = 0; i < 256; i++) starts[i + 1] = starts[i] + freqs[i];
+  if (starts[256] != kRansProbScale) return -2;
+  std::vector<uint8_t> slot_sym(kRansProbScale);
+  for (int s = 0; s < 256; s++)
+    for (uint32_t j = starts[s]; j < starts[s + 1]; j++) slot_sym[j] = (uint8_t)s;
+
+  const uint8_t* p = data;
+  const uint8_t* end = data + nbytes;
+  if (nbytes < 4) return -3;
+  uint32_t state = 0;
+  for (int i = 0; i < 4; i++) state = (state << 8) | *p++;
+  for (int64_t i = 0; i < n; i++) {
+    const uint32_t slot = state & (kRansProbScale - 1);
+    const uint8_t s = slot_sym[slot];
+    out[i] = s;
+    state = freqs[s] * (state >> kRansProbBits) + slot - starts[s];
+    while (state < kRansLow) {
+      if (p >= end) return -4;
+      state = (state << 8) | *p++;
+    }
+  }
+  // the encoder started from exactly kRansLow, so a well-formed stream
+  // returns there after the last symbol
+  return state == kRansLow ? 0 : -5;
+}
+
 }  // extern "C"

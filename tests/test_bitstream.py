@@ -26,7 +26,7 @@ def test_roundtrip_exact(rng, num_levels):
     cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
     blob = serialize(img, cfg, seed=0, num_levels=num_levels)
     dec, info = deserialize(blob)
-    ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels)
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels, coalesce=False)
     assert np.array_equal(dec, ref["decoded"])
     assert info["levels"] == num_levels
     assert info["real_bpp"] < 32  # always beats raw RGBA
@@ -41,7 +41,7 @@ def test_roundtrip_rgba(rng):
     blob = serialize(img, cfg, seed=0, num_levels=2)
     dec, info = deserialize(blob)
     assert info["has_alpha"]
-    ref = encode_image_merged(img, cfg, seed=0, num_levels=2)
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=2, coalesce=False)
     assert np.array_equal(dec, ref["decoded"])
 
 
@@ -67,3 +67,32 @@ def test_rd_policy_shrinks_real_stream(rng):
 def test_reject_garbage():
     with pytest.raises(ValueError):
         deserialize(b"NOPE" + b"\x00" * 100)
+
+
+def test_v3_entropy_roundtrip_and_never_larger():
+    """LTP1 v3 (delta + rANS factor planes) decodes identically to v2 and
+    the per-axis mode fallback keeps it from ever losing to v2."""
+    from limg_tpu.bitstream import serialize, deserialize
+
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    img = make_test_image(np.random.default_rng(3), 72, 96)
+    b2 = serialize(img, cfg, entropy=False)
+    b3 = serialize(img, cfg, entropy=True)
+    d2, i2 = deserialize(b2)
+    d3, i3 = deserialize(b3)
+    assert np.array_equal(d2, d3)
+    assert len(b3) <= len(b2) + 3
+    assert i3["real_bpp"] <= i2["real_bpp"] + 0.01
+
+
+def test_rans_codec_roundtrip():
+    from limg_tpu import native
+
+    rng = np.random.default_rng(0)
+    syms = np.minimum(rng.geometric(0.3, 5000) - 1, 255).astype(np.uint8)
+    freqs = native.rans_quantize_freqs(np.bincount(syms, minlength=256))
+    assert freqs.sum() == native.RANS_PROB_SCALE
+    blob = native.rans_encode(syms, freqs)
+    assert np.array_equal(native.rans_decode(blob, freqs, syms.size), syms)
+    # skewed data compresses well below 8 bits/symbol
+    assert len(blob) * 8 < 4 * syms.size

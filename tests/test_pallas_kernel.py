@@ -93,3 +93,75 @@ def test_pallas_crush_none(setup):
     diff = np.where(m, diff, 0)
     assert (diff <= 2).all()
     assert (diff > 0).mean() < 0.01
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "guess"])
+def test_pallas_crush_modes_match_jnp(setup, mode):
+    """Exhaustive (--accurate-bit-crushing) and guess run in-kernel now."""
+    img, px, mask = setup
+    cfg = EncodeConfig(error_factor=100, crush_mode=mode, dithering=False)
+    res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
+    shifts, qp, decp = encode_blocks_pallas(
+        pack_channels(px), mask, cfg, jnp.int32(0), interpret=True
+    )[:3]
+    assert np.array_equal(np.asarray(res.shifts), np.asarray(shifts))
+    dec_pal = np.stack([np.asarray(unpack_plane(decp, c)) for c in range(3)])
+    m = np.asarray(mask)[None].astype(bool)
+    assert ((np.asarray(res.decoded) == dec_pal) | ~m).all()
+
+
+@pytest.mark.parametrize("num_factors", [1, 2])
+def test_pallas_num_factors_match_jnp(setup, num_factors):
+    """Reduced-factor fast modes (BASELINE config 4): dropped axes are
+    forced to the shift=8 encoding in both backends, endpoints zeroed
+    before the search."""
+    img, px, mask = setup
+    cfg = EncodeConfig(
+        error_factor=100, crush_mode="ladder", dithering=False,
+        num_factors=num_factors,
+    )
+    res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
+    outs = encode_blocks_pallas(
+        pack_channels(px), mask, cfg, jnp.int32(0),
+        interpret=True, emit_endpoints=True,
+    )
+    shifts, qp, decp = outs[:3]
+    s = np.asarray(shifts)
+    assert np.array_equal(np.asarray(res.shifts), s)
+    # dropped axes store shift >= 8 everywhere
+    assert (s[num_factors:] >= 8).all()
+    dec_pal = np.stack([np.asarray(unpack_plane(decp, c)) for c in range(3)])
+    m = np.asarray(mask)[None].astype(bool)
+    assert ((np.asarray(res.decoded) == dec_pal) | ~m).all()
+    # dropped axes' endpoints are zeroed identically
+    names = ["dirA_min", "dirA_max", "dirB_offset", "dirB_mag",
+             "dirC_offset", "dirC_mag"]
+    for n, e in zip(names, outs[4:10]):
+        assert np.array_equal(
+            np.asarray(getattr(res.decomposition, n)), np.asarray(e)
+        ), n
+    for e in outs[4 + 2 * num_factors:10]:
+        assert (np.asarray(e) == 0).all()
+
+
+def test_num_factors_bpp_psnr_trade():
+    """On flat content, dropping axes should cut bits at modest PSNR cost."""
+    from limg_tpu.ops.error import psnr as weighted_psnr
+
+    rng = np.random.default_rng(99)
+    flat = np.full((64, 64, 4), 120, np.uint8)
+    flat[:, :, 0] = np.linspace(60, 200, 64, dtype=np.uint8)[None, :]
+    flat[:, :, 3] = 255
+    px, mask, grid = layout.blockify(jnp.asarray(flat))
+    stats = {}
+    for nf in (1, 2, 3):
+        cfg = EncodeConfig(error_factor=100, crush_mode="ladder",
+                           dithering=False, num_factors=nf)
+        res = encode_blocks(px, mask, cfg, jax.random.PRNGKey(0))
+        dec = layout.unblockify(res.decoded.astype(jnp.uint8), grid)
+        p, _ = weighted_psnr(jnp.asarray(flat[..., :3]), dec, 3)
+        stats[nf] = (float(np.asarray(res.accum_bits).sum()), float(p))
+    # fewer axes => fewer (or equal) factor bits
+    assert stats[1][0] <= stats[2][0] <= stats[3][0]
+    # a pure horizontal gradient is 1-axis content: quality stays high
+    assert stats[1][1] > 38.0

@@ -52,3 +52,29 @@ def test_blocks_sharded_pallas_kernel_in_shard_map(rng):
     dec_j, psnr_j = encode_image_blocks_sharded(img, cfg, n_devices=8)
     assert np.array_equal(dec_p, dec_j)
     assert abs(psnr_p - psnr_j) < 1e-6
+
+
+def test_corpus_sharded_mixed_sizes():
+    """Size-bucketed mixed corpus over the 8-device mesh (SURVEY 7 step 7):
+    per-image stats exact, pad images dropped."""
+    from limg_tpu.parallel.mesh import (
+        encode_corpus_sharded, encode_corpus_sharded_mixed,
+    )
+    from limg_tpu.config import EncodeConfig
+    from tests.conftest import make_test_image
+
+    rng = np.random.default_rng(31)
+    cfg = EncodeConfig(error_factor=100, crush_mode="guess")
+    # 5 images at 32x40, 3 at 48x24 -> two buckets, both need padding to 8
+    imgs = [make_test_image(rng, 32, 40) for _ in range(5)]
+    imgs += [make_test_image(rng, 48, 24) for _ in range(3)]
+    out = encode_corpus_sharded_mixed(imgs, cfg, n_devices=8)
+    assert out["psnr"].shape == (8,)
+    assert (out["psnr"] > 20.0).all()
+    assert len(out["buckets"]) == 2
+    # bucket results must equal a same-size batch encoded directly (the pad
+    # images must not leak into per-image stats)
+    direct = encode_corpus_sharded(
+        np.stack(imgs[:5] + imgs[:3]), cfg, n_devices=8
+    )
+    np.testing.assert_allclose(out["psnr"][:5], direct["psnr"][:5], rtol=1e-6)

@@ -28,3 +28,48 @@ if __name__ == "__main__":
     img = make_4k()
     Image.fromarray(img, "RGB").save("test4k.png")
     print("saved test4k.png", img.shape)
+
+
+def make_family(name: str, h: int = 1080, w: int = 1920, seed: int = 42) -> np.ndarray:
+    """Content families for the quality-parity sweeps (PARITY_RESULTS.md).
+
+    - "photo":    the make_4k recipe (gradients + blob + noise + flat patch)
+    - "smooth":   low-noise large-scale gradients (factor planes dominate)
+    - "graphics": UI-like content -- flat panels, 8px bands, hard edges,
+                  text-ish speckle rows (exercises merging + coalescing)
+    """
+    rng = np.random.default_rng(seed)
+    if name == "photo":
+        return make_4k(h, w, seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    if name == "smooth":
+        img = np.stack([
+            90 + 100 * x / w + 20 * np.sin(y / 400),
+            70 + 110 * y / h,
+            130 + 70 * np.sin(x / 700) * np.cos(y / 500),
+        ], axis=-1)
+        img += rng.normal(0, 1.5, img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8)
+    if name == "graphics":
+        img = np.full((h, w, 3), 245.0, np.float32)
+        # side panel + header bands (8 px tall, distinct colors)
+        img[:, : w // 5] = [52, 58, 84]
+        for i in range(6):
+            c = rng.integers(60, 200, 3)
+            img[i * 8:(i + 1) * 8, w // 5:] = c
+        # content cards with hard edges + subtle vertical gradient
+        for r in range(4):
+            for cix in range(3):
+                y0 = 80 + r * (h - 120) // 4
+                x0 = w // 5 + 40 + cix * (w - w // 5 - 80) // 3
+                hh, ww = (h - 160) // 4, (w - w // 5 - 120) // 3
+                grad = np.linspace(0, 18, hh, dtype=np.float32)[:, None, None]
+                img[y0:y0 + hh, x0:x0 + ww] = (
+                    np.array(rng.integers(150, 235, 3), np.float32) - grad
+                )
+        # text-like speckle rows
+        for ty in range(120, h, 90):
+            mask_txt = rng.random((12, w - w // 5 - 100)) < 0.18
+            img[ty:ty + 12, w // 5 + 50:w - 50][mask_txt] = 30
+        return np.clip(img, 0, 255).astype(np.uint8)
+    raise ValueError(name)

@@ -1,10 +1,16 @@
 """Quality-parity sweep: limg-tpu vs the compiled CPU reference oracle.
 
-Runs both encoders across error factors on the synthetic 4K baseline image
-and prints a markdown table of PSNR / avg factor bits. Requires the
-reference oracle (tools/build_reference.sh) and the TPU (or CPU JAX).
+Two tables:
+1. error-factor sweep on the synthetic 4K baseline (fixed grid,
+   ladder + exhaustive vs the reference's fast + accurate crush);
+2. content-family matrix at errorFactor=100: 3 families x {RGB, RGBA} x
+   {fixed, merged} vs the reference oracle (fixed) and reference CLI
+   (blocked/merged path).
 
-Usage: python tools/parity_report.py [--small] [--out PARITY_RESULTS.md]
+Requires the reference oracle + CLI (tools/build_reference.sh) and the TPU
+(or CPU JAX). Usage:
+  python tools/parity_report.py [--small] [--families-only|--sweep-only]
+                                [--out PARITY_RESULTS.md]
 """
 
 from __future__ import annotations
@@ -19,9 +25,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_reference(image_path: str, error_factor: int, fast: bool):
+def run_oracle(image_path: str, error_factor: int, fast: bool):
+    """Reference fixed-grid encode (limg_encode3d_test)."""
     out = subprocess.run(
-        [".refbuild/oracle", image_path, str(error_factor), "1" if fast else "0", "0"],
+        [".refbuild/oracle", image_path, str(error_factor), "1" if fast else "0", "1"],
         capture_output=True, text=True, check=True,
     ).stdout
     psnr = float(re.search(r"ORACLE psnr=([\d.]+)", out).group(1))
@@ -29,18 +36,28 @@ def run_reference(image_path: str, error_factor: int, fast: bool):
     return psnr, float(bits.group(1)) if bits else float("nan")
 
 
+def run_reference_blocked(image_path: str, error_factor: int):
+    """Reference blocked/merging CLI (limg_blocked_encode3d_test)."""
+    out = subprocess.run(
+        [".refbuild/limg", image_path, "--no-output",
+         "--error-factor", str(error_factor)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    psnr = float(re.search(r"PSNR: ([\d.]+) dB", out).group(1))
+    bpp = float(re.search(r"Compression Average: ~ *([\d.]+) bits", out).group(1))
+    return psnr, bpp
+
+
 def main():
     small = "--small" in sys.argv
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    do_sweep = "--families-only" not in sys.argv
+    do_families = "--sweep-only" not in sys.argv
 
     from PIL import Image
-    from tools.make_test_image import make_4k
-
-    img = make_4k(432, 768) if small else make_4k()
-    Image.fromarray(img, "RGB").save("/tmp/parity_img.png")
-    img4 = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    from tools.make_test_image import make_4k, make_family
 
     import jax
     import jax.numpy as jnp
@@ -50,55 +67,106 @@ def main():
     from limg_tpu.pallas_kernels.encode_fixed import (
         encode_blocks_pallas, pack_channels, unpack_plane,
     )
+    from limg_tpu.regions import encode_image_merged
 
-    px, mask, grid = layout.blockify(jnp.asarray(img4))
-    packed = jax.device_put(pack_channels(px))
-    mask_d = jax.device_put(mask)
-    count = np.asarray(mask).sum(0)
-    n = img.shape[0] * img.shape[1]
-
-    def ours(cfg):
-        # thresholds are traced: every error factor reuses one kernel compile
-        shifts, qp, decp = encode_blocks_pallas(packed, mask_d, cfg, jnp.int32(0))
-        dec = jnp.stack([unpack_plane(decp, c) for c in range(3)])
-        src = jnp.stack([unpack_plane(packed, c) for c in range(3)])
+    def ours_fixed(img4, cfg):
+        ch = cfg.channels
+        px, mask, grid = layout.blockify(jnp.asarray(img4))
+        packed = jax.device_put(pack_channels(px))
+        mask_d = jax.device_put(mask)
+        count = np.asarray(mask).sum(0)
+        n = img4.shape[0] * img4.shape[1]
+        shifts, qp, decp = encode_blocks_pallas(packed, mask_d, cfg, jnp.int32(0))[:3]
+        dec = jnp.stack([unpack_plane(decp, c) for c in range(ch)])
+        src = jnp.stack([unpack_plane(packed, c) for c in range(ch)])
         err = (weighted_error(dec, src) * mask_d.astype(jnp.int32)).astype(jnp.float32).sum()
-        psnr = 10.0 * np.log10(max_possible_error(3) / (float(err) / n))
+        psnr = 10.0 * np.log10(max_possible_error(ch) / (float(err) / n))
         s = np.minimum(np.asarray(shifts), 8)
         bits = ((8 - s) * count[None]).sum() / n
         return psnr, bits
 
-    rows = []
-    for ef in (50, 100, 200, 400):
-        ref_psnr, ref_bits = run_reference("/tmp/parity_img.png", ef, fast=True)
-        ref_psnr_acc, ref_bits_acc = run_reference("/tmp/parity_img.png", ef, fast=False)
-        row = dict(
-            ef=ef,
-            ref_fast=(ref_psnr, ref_bits),
-            ref_acc=(ref_psnr_acc, ref_bits_acc),
-            ladder=ours(EncodeConfig(error_factor=ef, crush_mode="ladder")),
-            exhaustive=None,
-        )
-        rows.append(row)
-        print(row, flush=True)
+    def ours_merged(img4, cfg):
+        out = encode_image_merged(img4, cfg, fetch_planes=False)
+        return out["psnr"], out["mean_bpp"]
 
-    lines = [
-        "# PARITY_RESULTS — fixed-grid quality sweep vs CPU reference",
-        "",
-        f"Image: synthetic {'432x768' if small else '3840x2160'} RGB "
-        "(tools/make_test_image.py, seed 42). PSNR in dB, bits = average "
-        "factor bits per pixel (header excluded on both sides).",
-        "",
-        "| errorFactor | ref fast PSNR/bits | ref accurate PSNR/bits | "
-        "limg-tpu ladder PSNR/bits | limg-tpu exhaustive PSNR/bits |",
-        "|---|---|---|---|---|",
-    ]
-    for r in rows:
-        ex = "%.2f / %.3f" % r["exhaustive"] if r["exhaustive"] else "-"
-        lines.append(
-            "| %d | %.2f / %.3f | %.2f / %.3f | %.2f / %.3f | %s |"
-            % (r["ef"], *r["ref_fast"], *r["ref_acc"], *r["ladder"], ex)
-        )
+    lines = []
+    if do_sweep:
+        img = make_4k(432, 768) if small else make_4k()
+        Image.fromarray(img, "RGB").save("/tmp/parity_img.png")
+        img4 = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+
+        rows = []
+        for ef in (50, 100, 200, 400):
+            row = dict(
+                ef=ef,
+                ref_fast=run_oracle("/tmp/parity_img.png", ef, fast=True),
+                ref_acc=run_oracle("/tmp/parity_img.png", ef, fast=False),
+                ladder=ours_fixed(img4, EncodeConfig(error_factor=ef, crush_mode="ladder")),
+                exhaustive=ours_fixed(img4, EncodeConfig(error_factor=ef, crush_mode="exhaustive")),
+            )
+            rows.append(row)
+            print(row, flush=True)
+
+        lines += [
+            "# PARITY_RESULTS — quality sweeps vs the compiled CPU reference",
+            "",
+            f"## Fixed-grid error-factor sweep (synthetic "
+            f"{'432x768' if small else '3840x2160'} RGB, seed 42)",
+            "",
+            "PSNR in dB, bits = average factor bits per pixel (header "
+            "excluded on both sides).",
+            "",
+            "| errorFactor | ref fast PSNR/bits | ref accurate PSNR/bits | "
+            "limg-tpu ladder PSNR/bits | limg-tpu exhaustive PSNR/bits |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                "| %d | %.2f / %.3f | %.2f / %.3f | %.2f / %.3f | %.2f / %.3f |"
+                % (r["ef"], *r["ref_fast"], *r["ref_acc"], *r["ladder"],
+                   *r["exhaustive"])
+            )
+        lines.append("")
+
+    if do_families:
+        hh, ww = (216, 384) if small else (1080, 1920)
+        lines += [
+            "## Content-family matrix at errorFactor=100 "
+            f"({hh}x{ww}; families in tools/make_test_image.py)",
+            "",
+            "Fixed columns compare PSNR dB / avg factor bits; merged columns "
+            "compare PSNR dB / estimated total bpp (both sides amortize the "
+            "per-region header over merged regions).",
+            "",
+            "| family | alpha | ref fixed fast | limg-tpu fixed ladder | "
+            "ref blocked | limg-tpu merged |",
+            "|---|---|---|---|---|---|",
+        ]
+        for fam in ("photo", "smooth", "graphics"):
+            base = make_family(fam, hh, ww)
+            for alpha in (False, True):
+                if alpha:
+                    y, x = np.mgrid[0:hh, 0:ww].astype(np.float32)
+                    a = np.clip(170 + 80 * np.sin(x / 200), 0, 255).astype(np.uint8)
+                    img4 = np.dstack([base, a])
+                    Image.fromarray(img4, "RGBA").save("/tmp/parity_fam.png")
+                else:
+                    img4 = np.dstack([base, np.full((hh, ww), 255, np.uint8)])
+                    Image.fromarray(base, "RGB").save("/tmp/parity_fam.png")
+                cfg = EncodeConfig(error_factor=100, has_alpha=alpha)
+                rf = run_oracle("/tmp/parity_fam.png", 100, fast=True)
+                of = ours_fixed(img4, cfg)
+                rb = run_reference_blocked("/tmp/parity_fam.png", 100)
+                om = ours_merged(img4, cfg)
+                line = (
+                    "| %s | %s | %.2f / %.3f | %.2f / %.3f | %.2f / %.3f | "
+                    "%.2f / %.3f |" % (fam, "RGBA" if alpha else "RGB",
+                                       *rf, *of, *rb, *om)
+                )
+                lines.append(line)
+                print(line, flush=True)
+        lines.append("")
+
     report = "\n".join(lines) + "\n"
     print(report)
     if out_path:
