@@ -1,0 +1,77 @@
+"""Fused (Morton single-crush-pass) merged encoder vs the dense path.
+
+The fused path reorders float reductions (group butterfly trees vs flat
+sums), so parity is gated at the owner-map / PSNR / bpp level, not bitwise.
+It also intentionally merges grid-edge regions whose quadtree parents the
+dense path rejects for having out-of-grid children (auto-matching empty
+children), so owner maps agree on interior content but may differ at the
+padded edge in fused's favor.
+"""
+
+import numpy as np
+import pytest
+
+from limg_tpu import EncodeConfig
+from limg_tpu.pallas_kernels.encode_merged import morton_perm
+from limg_tpu.regions import encode_image_merged
+
+from tests.conftest import make_test_image
+
+
+def test_morton_perm_is_permutation():
+    perm, byp, bxp = morton_perm(9, 12, 3)
+    assert byp == 12 and bxp == 12
+    real = perm[perm >= 0]
+    assert sorted(real.tolist()) == list(range(9 * 12))
+    # children of any parent are contiguous and in (0,0),(0,1),(1,0),(1,1) order
+    for j in (0, 5, 17):
+        quad = perm[4 * j:4 * j + 4]
+        ys, xs = quad[quad >= 0] // 12, quad[quad >= 0] % 12
+        if len(ys) == 4:
+            assert ys.tolist() == sorted(ys.tolist())
+            assert (ys.max() - ys.min(), xs.max() - xs.min()) == (1, 1)
+
+
+def test_morton_groups_are_aligned_squares():
+    perm, byp, bxp = morton_perm(8, 8, 3)
+    for lvl, g in ((1, 4), (2, 16)):
+        side = 1 << lvl
+        for j in range(64 // g):
+            grp = perm[g * j:g * (j + 1)]
+            ys, xs = grp // 8, grp % 8
+            assert ys.min() % side == 0 and xs.min() % side == 0
+            assert ys.max() - ys.min() == side - 1
+            assert xs.max() - xs.min() == side - 1
+
+
+@pytest.mark.parametrize("has_alpha", [False, True])
+def test_fused_matches_dense_quality(rng, has_alpha):
+    img = make_test_image(rng, h=70, w=90)
+    if not has_alpha:
+        img = img[:, :, :3].copy()
+    img[0:32, :, :3] = [40, 90, 200]  # flat band forces merges
+    cfg = EncodeConfig(error_factor=100, has_alpha=has_alpha, dithering=False)
+    dense = encode_image_merged(img, cfg, num_levels=3, use_pallas=True,
+                                fused=False)
+    fused = encode_image_merged(img, cfg, num_levels=3, use_pallas=True,
+                                fused=True)
+    assert abs(dense["psnr"] - fused["psnr"]) < 0.3
+    assert abs(dense["mean_bpp"] - fused["mean_bpp"]) < 0.1
+    assert (dense["decoded"] == fused["decoded"]).mean() > 0.9
+    assert (dense["owner_px"] == fused["owner_px"]).mean() > 0.9
+    # fused may merge strictly more at grid edges (auto-matched empties)
+    assert (fused["alive_counts"][1:] >= dense["alive_counts"][1:]).all()
+    assert fused["decoded"].shape == img.shape[:2] + (4,)
+    assert set(fused["bits_histogram"].shape) == {3, 9}
+
+
+def test_fused_two_levels_flat_image(rng):
+    img = np.full((40, 48, 3), [120, 60, 200], np.uint8)
+    cfg = EncodeConfig(error_factor=100, dithering=False)
+    out = encode_image_merged(img, cfg, num_levels=2, use_pallas=True,
+                              fused=True, coalesce=False)
+    # a constant image merges everything at the top level: 5x6 blocks ->
+    # ceil(5/2) * ceil(6/2) = 9 non-empty parents, all alive
+    assert out["alive_counts"][0] == 30 and out["alive_counts"][1] == 9
+    assert (out["owner_px"] == 1).all()
+    assert out["psnr"] > 50
