@@ -53,8 +53,8 @@ def main():
     # this tunneled dev setup it measures the network, not the chip)
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def step(img, cfg, seed):
-        px, mask, _ = layout.blockify(img)
-        return encode_blocks_pallas(pack_channels(px), mask, cfg, seed)[:3]
+        packed, mask, _ = layout.blockify_packed(img)
+        return encode_blocks_pallas(packed, mask, cfg, seed)[:3]
 
     per_call, det = time_device_fn(lambda: step(img, cfg, seed), iters=50, inner=5)
 

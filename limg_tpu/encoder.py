@@ -121,8 +121,11 @@ def _encode_image_device_pallas(image: jnp.ndarray, cfg: EncodeConfig,
     from .ops.fit import Decomposition
 
     ch = cfg.channels
-    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
-    packed = pack_channels(px)
+    if image.shape[2] == 4:
+        packed, mask, grid = layout.blockify_packed(image, BLOCK_SIZE)
+    else:
+        px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+        packed = pack_channels(px)
     seed = jax.random.randint(dither_key, (), 0, 2**31 - 1, jnp.int32)
     outs = encode_blocks_pallas(packed, mask, cfg, seed, emit_endpoints=True)
     shifts, q_packed, dec_packed = outs[:3]
@@ -167,8 +170,11 @@ def encode_perf_step_pallas(image: jnp.ndarray, cfg: EncodeConfig,
     """Fused-kernel perf step (what bench.py measures)."""
     from .pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
 
-    px, mask, grid = layout.blockify(image, BLOCK_SIZE)
-    packed = pack_channels(px)
+    if image.shape[2] == 4:
+        packed, mask, grid = layout.blockify_packed(image, BLOCK_SIZE)
+    else:
+        px, mask, grid = layout.blockify(image, BLOCK_SIZE)
+        packed = pack_channels(px)
     seed = jax.random.randint(dither_key, (), 0, 2**31 - 1, jnp.int32)
     shifts, q_packed, dec_packed = encode_blocks_pallas(packed, mask, cfg, seed)[:3]
     return dec_packed.sum(), shifts.sum()

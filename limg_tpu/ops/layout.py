@@ -61,6 +61,35 @@ def blockify(image: jnp.ndarray, block: int = BLOCK_SIZE):
     return px, mask, g
 
 
+def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE):
+    """(H, W, 4) uint8 RGBA -> ((block*block, NB) int32 packed, mask, grid).
+
+    Fast path for the fused kernels: the RGBA byte quadruple IS the packed
+    little-endian int32 word (R in the low byte, matching pack_channels), so
+    packing is a free bitcast and the relayout moves one int32 plane instead
+    of four channel planes. Produces bit-identical output to
+    ``pack_channels(blockify(image)[0])``.
+    """
+    from jax import lax
+
+    h, w, c = image.shape
+    assert c == 4, "blockify_packed requires an RGBA image"
+    g = grid_for(h, w, block)
+    packed2d = lax.bitcast_convert_type(image, jnp.int32)        # (H, W)
+    padded = jnp.pad(packed2d, ((0, g.blocks_y * block - h),
+                                (0, g.blocks_x * block - w)))
+    tiles = padded.reshape(g.blocks_y, block, g.blocks_x, block)
+    px = tiles.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
+
+    ys = np.arange(g.blocks_y * block).reshape(g.blocks_y, block)
+    xs = np.arange(g.blocks_x * block).reshape(g.blocks_x, block)
+    valid = (ys < h)[:, :, None, None] & (xs < w)[None, None, :, :]
+    mask = jnp.asarray(
+        valid.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
+    )
+    return px, mask, g
+
+
 def unblockify(px: jnp.ndarray, grid: BlockGrid, block: int = BLOCK_SIZE) -> jnp.ndarray:
     """(C, block*block, NB) -> (H, W, C), cropping edge padding."""
     c = px.shape[0]

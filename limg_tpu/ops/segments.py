@@ -170,6 +170,8 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
     chosen per region exactly like the reference's region encode
     (src/limg.cpp:1514-1534). Returns (shifts (3, S) i32, block_err (S,)).
     """
+    import jax
+
     channels = cfg.channels
     px = px_u8[:channels].astype(jnp.int32)
     mask_i = mask.astype(jnp.int32)
@@ -178,9 +180,30 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
     count_seg = seg_sum(mask_i.sum(axis=0), seg_id, num_segments)
     es_blk = _err_scale_shift(px.shape[1])
 
+    # On accelerators the per-candidate decode-sim runs in a fused Pallas
+    # kernel (bit-identical to evaluate_shifts); each jnp evaluation
+    # otherwise streams (3, ch, P, NB) intermediates through HBM and
+    # dominates the whole coalescing pass.
+    use_kernel = (jax.default_backend() != "cpu"
+                  and px.shape[1] <= 256 and es_blk == 0)
+    if use_kernel:
+        from ..pallas_kernels.encode_fixed import crush_eval_rows_pallas
+
+        packed = px[0] + (px[1] << 8)
+        for c in range(2, channels):
+            packed = packed + (px[c] << (8 * c))
+        f8_packed = f8[0] + (f8[1] << 8) + (f8[2] << 16)
+        eps = [d_blk.dirA_min, d_blk.dirA_max, d_blk.dirB_offset,
+               d_blk.dirB_mag, d_blk.dirC_offset, d_blk.dirC_mag]
+
     def eval_fn(shifts_seg):
         shifts_blk = shifts_seg[:, seg_id]
-        pm, be = evaluate_shifts(px, mask_i, f8, d_blk, shifts_blk, channels)
+        if use_kernel:
+            pm, be = crush_eval_rows_pallas(
+                packed, mask_i, f8_packed, eps, shifts_blk, channels
+            )
+        else:
+            pm, be = evaluate_shifts(px, mask_i, f8, d_blk, shifts_blk, channels)
         pm_s = seg_max(pm, seg_id, num_segments, 0)
         be_s = seg_sum(be >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
         return pm_s, be_s

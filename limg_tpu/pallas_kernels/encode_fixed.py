@@ -330,7 +330,13 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         return out
 
     def err_from_est(est):
-        """Clamp + weighted error of summed contributions est (ch x (P,T))."""
+        """Clamp + weighted error of summed contributions est (ch x (P,T)).
+
+        Returns PER-BLOCK (sublane-reduced) rows; the cross-lane region
+        combine is applied later, batched over many candidates at once
+        (_finish) -- one butterfly/roll pass over a (K, T) stack costs the
+        same as over a single row, so reducing 27 sweep candidates together
+        is ~27x cheaper than combining each eval individually."""
         dec = [jnp.clip(e, 0, 255) for e in est]
         d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
         d2 = [x * x for x in d_f]
@@ -341,7 +347,19 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         if channels == 4:
             err = err + d2[3] * 3.0
         err_i = err.astype(jnp.int32) * mask_i
-        return red.max(err_i), red.sum(err_i >> es)
+        return (
+            jnp.max(err_i, axis=0, keepdims=True),
+            jnp.sum(err_i >> es, axis=0, keepdims=True),
+        )
+
+    def _finish(pix_parts, blk_parts):
+        """Cross-lane combine of stacked per-block candidate rows.
+
+        pix_parts/blk_parts: lists of (r, T) rows. Returns the two stacks
+        with every row holding its region's max/sum (order preserved)."""
+        pm = red._combine(jnp.concatenate(pix_parts, axis=0), jnp.maximum)
+        be = red._combine(jnp.concatenate(blk_parts, axis=0), jnp.add)
+        return pm, be
 
     def decode_eval(s, q):
         """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors -> decoded
@@ -378,7 +396,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
     # _admissible floors doc). num_factors == 3 keeps the exact reference
     # comparison (floor_pix is None) for bit parity.
     if crush and spec.num_factors < 3:
-        floor_pix, floor_blk = crush_eval([zero_row, zero_row, zero_row])
+        fp, fb = crush_eval([zero_row, zero_row, zero_row])
+        floor_pix, floor_blk = _finish([fp], [fb])
     else:
         floor_pix = floor_blk = None
 
@@ -404,7 +423,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
             sa = jnp.full((1, t), i // 81, jnp.int32)
             sb = jnp.full((1, t), (i // 9) % 9, jnp.int32)
             sc = jnp.full((1, t), i % 9, jnp.int32)
-            pm, be = crush_eval([sa, sb, sc])
+            pm_b, be_b = crush_eval([sa, sb, sc])
+            pm, be = _finish([pm_b], [be_b])
             ok = adm(pm, be)
             total = sa + sb + sc
             take = ok & ((total > b_tot) | ((total == b_tot) & (be <= b_err)))
@@ -426,11 +446,14 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         # ---- the reference's canned-guess acceptance logic ----------------
         # if ok(4,5,6): pick (5,8,8) if ok else (4,6,8) if ok else (4,5,6)
         # else:         pick (2,4,5) if ok else (0,0,0)
-        oks = []
+        pix_parts, blk_parts = [], []
         for tpl in _GUESS_TRIPLES:
             s = [jnp.full((1, t), v, jnp.int32) for v in tpl]
-            pm, be = crush_eval(s)
-            oks.append(adm(pm, be))
+            pm_b, be_b = crush_eval(s)
+            pix_parts.append(pm_b)
+            blk_parts.append(be_b)
+        pm4, be4 = _finish(pix_parts, blk_parts)
+        oks = [adm(pm4[i:i + 1], be4[i:i + 1]) for i in range(4)]
 
         def row(v):
             return jnp.full((1, t), v, jnp.int32)
@@ -449,19 +472,17 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         # (The zero-shift contributions of the two idle axes are common
         # subexpressions across the unrolled sweep; Mosaic CSEs them, and
         # hoisting them manually measured *slower* -- extra live ranges.)
-        blk_ax = []
-        pix_ax = []
+        pix_parts, blk_parts = [], []
         for axis in range(3):
-            blk_s = []
-            pix_s = []
             for sv in range(9):
                 s = [zero_row, zero_row, zero_row]
                 s[axis] = jnp.full((1, t), sv, jnp.int32)
-                pm, be = crush_eval(s)
-                blk_s.append(be)
-                pix_s.append(pm)
-            blk_ax.append(jnp.concatenate(blk_s, axis=0))   # (9, T)
-            pix_ax.append(jnp.concatenate(pix_s, axis=0))
+                pm_b, be_b = crush_eval(s)
+                pix_parts.append(pm_b)
+                blk_parts.append(be_b)
+        pix27, blk27 = _finish(pix_parts, blk_parts)        # (27, T) each
+        pix_ax = [pix27[9 * a:9 * (a + 1)] for a in range(3)]
+        blk_ax = [blk27[9 * a:9 * (a + 1)] for a in range(3)]
         pix0 = pix_ax[0][0:1]
         err0 = blk_ax[0][0:1]
         d_blk = [b - b[0:1] for b in blk_ax]
@@ -506,16 +527,35 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         key = (adm_lat << 30) + (totals << 25) + err_pack   # (64, T)
         iota64 = lax.broadcasted_iota(jnp.int32, (64, t), 0)
 
-        def round_body(_, carry):
-            key, bs0, bs1, bs2, b_tot, b_err = carry
-            m = jnp.max(key, axis=0, keepdims=True)
+        # peel the top-K candidate indices first (key updates don't depend
+        # on the exact evaluations), then evaluate all K and combine their
+        # region reductions in ONE batched butterfly pass
+        cand = []
+        key_work = key
+        for _ in range(ladder_k):
+            m = jnp.max(key_work, axis=0, keepdims=True)
             idx = jnp.min(
-                jnp.where(key == m, iota64, 64), axis=0, keepdims=True
+                jnp.where(key_work == m, iota64, 64), axis=0, keepdims=True
             )                                               # (1, T)
-            sa = jnp.maximum(base[0] - idx // 16, 0)
-            sb = jnp.maximum(base[1] - (idx // 4) % 4, 0)
-            sc = jnp.maximum(base[2] - idx % 4, 0)
-            pm, be = crush_eval([sa, sb, sc])
+            cand.append((
+                jnp.maximum(base[0] - idx // 16, 0),
+                jnp.maximum(base[1] - (idx // 4) % 4, 0),
+                jnp.maximum(base[2] - idx % 4, 0),
+            ))
+            key_work = jnp.where(iota64 == idx, -(2**31) + 1, key_work)
+
+        pix_parts, blk_parts = [], []
+        for sa, sb, sc in cand:
+            pm_b, be_b = crush_eval([sa, sb, sc])
+            pix_parts.append(pm_b)
+            blk_parts.append(be_b)
+        pm_k, be_k = _finish(pix_parts, blk_parts)          # (K, T) each
+
+        bs0 = bs1 = bs2 = zero_row
+        b_tot = jnp.full((1, t), -1, jnp.int32)
+        b_err = jnp.full((1, t), 2**31 - 1, jnp.int32)
+        for k, (sa, sb, sc) in enumerate(cand):
+            pm, be = pm_k[k:k + 1], be_k[k:k + 1]
             ok = adm(pm, be)
             total = sa + sb + sc
             take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
@@ -524,17 +564,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
             bs2 = jnp.where(take, sc, bs2)
             b_tot = jnp.where(take, total, b_tot)
             b_err = jnp.where(take, be, b_err)
-            key = jnp.where(iota64 == idx, -(2**31) + 1, key)
-            return key, bs0, bs1, bs2, b_tot, b_err
-
-        init = (
-            key,
-            zero_row, zero_row, zero_row,
-            jnp.full((1, t), -1, jnp.int32),
-            jnp.full((1, t), 2**31 - 1, jnp.int32),
-        )
-        _, s0, s1, s2, _, _ = lax.fori_loop(0, ladder_k, round_body, init)
-        shifts = [s0, s1, s2]
+        shifts = [bs0, bs1, bs2]
     else:
         shifts = [zero_row, zero_row, zero_row]
 
@@ -814,6 +844,104 @@ def _encode_blocks_pallas_impl(packed_px, mask, params, kspec: KernelSpec,
     if pad:
         result = [o[:, :nb] for o in result]
     return tuple(result)
+
+
+def _make_eval_kernel(channels: int):
+    """Per-block crush evaluation: decode-sim + weighted error for ONE
+    per-block shift triple. The per-pixel math mirrors
+    _crush_dither_decode's axis_contrib/err_from_est (bit-exact vs the jnp
+    ops.crush.evaluate_shifts); region (segment) aggregation of the
+    per-block rows happens outside in jnp."""
+
+    def kernel(params_ref, packed_ref, mask_ref, f8_ref, shifts_ref, *rest):
+        ep_in = rest[:6]
+        pm_ref, be_ref = rest[6:]
+        packed = packed_ref[...]
+        mask_i = mask_ref[...]
+        f8_packed = f8_ref[...]
+        f8 = [(f8_packed >> (8 * k)) & 0xFF for k in range(3)]
+        shifts = [shifts_ref[k:k + 1, :] for k in range(3)]
+        eps = [e[...] for e in ep_in]
+        ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = (
+            [e[c:c + 1, :] for c in range(channels)] for e in eps
+        )
+        n_int = [
+            [mx - mn for mx, mn in zip(ia_max, ia_min)],
+            [mx - mn for mx, mn in zip(ib_mag, ib_off)],
+            [mx - mn for mx, mn in zip(ic_mag, ic_off)],
+        ]
+        m_int = [ia_min, ib_off, ic_off]
+        px_i = _unpack_channels(packed, channels)
+
+        est = [jnp.zeros_like(packed) for _ in range(channels)]
+        for k in range(3):
+            s_row = shifts[k]
+            q = f8[k] >> jnp.minimum(s_row, 8)
+            mult = _table_row(s_row, _MULT).astype(jnp.float32)
+            f_dec = q.astype(jnp.float32) * mult
+            dropped = s_row > 7
+            for c in range(channels):
+                n_kc = jnp.where(dropped, 0, n_int[k][c]).astype(jnp.float32)
+                m_kc = m_int[k][c] if k == 0 else jnp.where(dropped, 0, m_int[k][c])
+                contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
+                est[c] = est[c] + m_kc + contrib.astype(jnp.int32)
+
+        dec = [jnp.clip(e, 0, 255) for e in est]
+        d_f = [(d - p).astype(jnp.float32) for d, p in zip(dec, px_i)]
+        d2 = [x * x for x in d_f]
+        red_lo = d2[0] < float(0x4000)
+        err = d2[0] * jnp.where(red_lo, 2.0, 3.0) + d2[1] * 4.0
+        if channels >= 3:
+            err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
+        if channels == 4:
+            err = err + d2[3] * 3.0
+        err_i = err.astype(jnp.int32) * mask_i
+        pm_ref[...] = jnp.max(err_i, axis=0, keepdims=True)
+        be_ref[...] = jnp.sum(err_i, axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "interpret"))
+def crush_eval_rows_pallas(packed_px, mask_i, f8_packed, eps, shifts,
+                           channels: int, interpret: bool = False):
+    """Per-block (pix_max, block_err) for per-block shift triples.
+
+    packed_px/mask_i/f8_packed: (P, NB) i32 (P <= 256); eps: 6 x (ch, NB)
+    i32 endpoint rows gathered to block granularity; shifts: (3, NB) i32.
+    Returns (pm (NB,), be (NB,)) i32, bit-identical to
+    ops.crush.evaluate_shifts at err-scale 0. Used by the segment
+    (run-coalescing) crush search, whose jnp eval was HBM-bound.
+    """
+    p, nb = packed_px.shape
+    treg = 256 if p <= 64 else 128
+    pad = (-nb) % treg
+    if pad:
+        padder = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        packed_px, mask_i, f8_packed, shifts = map(
+            padder, (packed_px, mask_i, f8_packed, shifts))
+        eps = [padder(e) for e in eps]
+    nbp = nb + pad
+    grid = nbp // treg
+
+    def spec(rows):
+        return pl.BlockSpec((rows, treg), lambda i, *_: (0, i))
+
+    params = jnp.zeros((1,), jnp.int32)  # unused; uniform prefetch signature
+    pm, be = pl.pallas_call(
+        _make_eval_kernel(channels),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(grid,),
+            in_specs=[spec(p), spec(p), spec(p), spec(3)] + [spec(channels)] * 6,
+            out_specs=(spec(1), spec(1)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nbp), jnp.int32),
+            jax.ShapeDtypeStruct((1, nbp), jnp.int32),
+        ),
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(params, packed_px, mask_i, f8_packed, shifts, *eps)
+    return pm[0, :nb], be[0, :nb]
 
 
 def pack_channels(px_u8: jnp.ndarray) -> jnp.ndarray:

@@ -103,8 +103,11 @@ def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key):
     straight from the kernel (no full-image re-derivation)."""
     from .pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
 
-    px, mask, grid = layout.blockify(image, bsz)
-    packed = pack_channels(px)
+    if image.shape[2] == 4:
+        packed, mask, grid = layout.blockify_packed(image, bsz)
+    else:
+        px, mask, grid = layout.blockify(image, bsz)
+        packed = pack_channels(px)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
     outs = encode_blocks_pallas(packed, mask, cfg, seed, emit_endpoints=True)
     shifts, q_packed, dec_packed, dist = outs[:4]
@@ -561,9 +564,12 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
 
     ch = cfg.channels
     h, w = image.shape[:2]
-    px, mask, grid0 = layout.blockify(image, BLOCK_SIZE)
+    if image.shape[2] == 4:
+        packed, mask, grid0 = layout.blockify_packed(image, BLOCK_SIZE)
+    else:
+        px, mask, grid0 = layout.blockify(image, BLOCK_SIZE)
+        packed = pack_channels(px)
     nb = grid0.num_blocks
-    packed = pack_channels(px)
     perm, byp, bxp = em.morton_perm(grid0.blocks_y, grid0.blocks_x, num_levels)
     nbp = perm.size
     safe = jnp.asarray(np.maximum(perm, 0))
@@ -664,57 +670,75 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         )
         bpp_blk_m = jnp.where(owner == lvl, jnp.repeat(bpp_l, s), bpp_blk_m)
 
-    # level-0 state in original block order (the coalesce pass and all
-    # per-pixel plane assembly work on the unpermuted grid)
-    count0 = to_orig(cnt0_m)
+    # level-0 state: the coalesce pass and per-pixel plane assembly work on
+    # the unpermuted grid, so they need orig-order copies; the no-coalesce
+    # fast path keeps everything in Morton order and converts only the
+    # decode plane.
     owner0 = to_orig(owner)
-    d0 = Decomposition(
-        avg=to_orig(fit[0]["avg"]),
-        dirA_min=to_orig(fit[0]["endpoints"][0]),
-        dirA_max=to_orig(fit[0]["endpoints"][1]),
-        dirB_offset=to_orig(fit[0]["endpoints"][2]),
-        dirB_mag=to_orig(fit[0]["endpoints"][3]),
-        dirC_offset=to_orig(fit[0]["endpoints"][4]),
-        dirC_mag=to_orig(fit[0]["endpoints"][5]),
-    )
-    shifts0 = to_orig(shifts_m)
-    s_eff0 = jnp.minimum(shifts0, 8)
-    bits0 = header + ((8 - s_eff0) * count0[None]).sum(axis=0)
-    lv0 = dict(
-        decomp=d0,
-        shifts=shifts0,
-        q_packed=to_orig(q_m),
-        dec_packed=to_orig(dec_m),
-        dist=to_orig(dist_m[0]),
-        bits=bits0,
-        bpp_block=to_orig(bpp_blk_m),
-        mask=mask,
-        count=count0,
-    )
-
     run_region_id = None
     n_runs = jnp.zeros((), jnp.int32)
     run_applied = jnp.zeros((nb,), bool)
-    if coalesce:
-        owned0 = owner0 == 0
-        ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
-        lv0, run_applied, run_region_id, n_runs = coalesce_level_bands(
-            image, lv0, grid0, owned0, cfg, ckey, BLOCK_SIZE, "match", 0.0,
-        )
-
-    # ---- stats (mirrors encode_image_merged_device's reductions) ----------
     accum_bits = jnp.zeros((3,), jnp.int32)
     bits_histogram = jnp.zeros((3, 9), jnp.int32)
     total_err = jnp.zeros((), jnp.float32)
 
-    own0_i = (owner0 == 0).astype(jnp.int32)
-    s_eff0 = jnp.minimum(lv0["shifts"], 8)
-    accum_bits = accum_bits + ((8 - s_eff0) * (count0 * own0_i)[None]).sum(axis=1)
-    one_hot0 = s_eff0[:, None, :] == jnp.arange(9)[None, :, None]
-    bits_histogram = bits_histogram + (
-        one_hot0 * (count0 * own0_i)[None, None, :]
-    ).sum(axis=2)
-    total_err = total_err + (lv0["dist"] * own0_i).sum()
+    if coalesce:
+        count0 = to_orig(cnt0_m)
+        d0 = Decomposition(
+            avg=to_orig(fit[0]["avg"]),
+            dirA_min=to_orig(fit[0]["endpoints"][0]),
+            dirA_max=to_orig(fit[0]["endpoints"][1]),
+            dirB_offset=to_orig(fit[0]["endpoints"][2]),
+            dirB_mag=to_orig(fit[0]["endpoints"][3]),
+            dirC_offset=to_orig(fit[0]["endpoints"][4]),
+            dirC_mag=to_orig(fit[0]["endpoints"][5]),
+        )
+        shifts0 = to_orig(shifts_m)
+        s_eff0 = jnp.minimum(shifts0, 8)
+        bits0 = header + ((8 - s_eff0) * count0[None]).sum(axis=0)
+        lv0 = dict(
+            decomp=d0,
+            shifts=shifts0,
+            q_packed=to_orig(q_m),
+            dec_packed=to_orig(dec_m),
+            dist=to_orig(dist_m[0]),
+            bits=bits0,
+            bpp_block=to_orig(bpp_blk_m),
+            mask=mask,
+            count=count0,
+        )
+        ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
+        lv0, run_applied, run_region_id, n_runs = coalesce_level_bands(
+            image, lv0, grid0, owner0 == 0, cfg, ckey, BLOCK_SIZE, "match", 0.0,
+        )
+        # level-0 stats from the (coalesce-updated) orig-order arrays
+        own0_i = (owner0 == 0).astype(jnp.int32)
+        s_eff0 = jnp.minimum(lv0["shifts"], 8)
+        accum_bits = accum_bits + ((8 - s_eff0) * (count0 * own0_i)[None]).sum(axis=1)
+        one_hot0 = s_eff0[:, None, :] == jnp.arange(9)[None, :, None]
+        bits_histogram = bits_histogram + (
+            one_hot0 * (count0 * own0_i)[None, None, :]
+        ).sum(axis=2)
+        total_err = total_err + (lv0["dist"] * own0_i).sum()
+        bpp_weighted = (lv0["bpp_block"].astype(jnp.float32) * count0).sum()
+        dec_blk = lv0["dec_packed"]
+        shifts_blk, q_blk, bpp_blk = lv0["shifts"], lv0["q_packed"], lv0["bpp_block"]
+    else:
+        # level-0 stats directly in Morton order (padding lanes have count 0)
+        own0_i = ((owner == 0) & (cnt0_m > 0)).astype(jnp.int32)
+        s0_m = jnp.minimum(shifts_m, 8)
+        accum_bits = accum_bits + ((8 - s0_m) * (cnt0_m * own0_i)[None]).sum(axis=1)
+        one_hot0 = s0_m[:, None, :] == jnp.arange(9)[None, :, None]
+        bits_histogram = bits_histogram + (
+            one_hot0 * (cnt0_m * own0_i)[None, None, :]
+        ).sum(axis=2)
+        total_err = total_err + (dist_m[0] * own0_i).sum()
+        bpp_weighted = (bpp_blk_m.astype(jnp.float32) * cnt0_m).sum()
+        dec_blk = to_orig(dec_m)
+        if emit_planes:
+            shifts_blk, q_blk, bpp_blk = (
+                to_orig(shifts_m), to_orig(q_m), to_orig(bpp_blk_m)
+            )
 
     for lvl in range(1, num_levels):
         s = 4 ** lvl
@@ -729,15 +753,11 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
             one_hot * (cnt_l * own_i)[None, None, :]
         ).sum(axis=2)
 
-    bpp_weighted = (
-        lv0["bpp_block"].astype(jnp.float32) * count0
-    ).sum()  # every block counted once at its owner's (or run's) bpp
-
     merged_counts = jnp.asarray([
         (alive[l] & (counts[l] > 0)).sum() for l in range(num_levels)
     ])
 
-    dec_plane = layout.unblockify(lv0["dec_packed"][None], grid0, BLOCK_SIZE)[..., 0]
+    dec_plane = layout.unblockify(dec_blk[None], grid0, BLOCK_SIZE)[..., 0]
     decoded4 = jnp.stack(
         [((dec_plane >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(4)],
         axis=-1,
@@ -756,13 +776,13 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         n_runs=n_runs,
     )
     if emit_planes:
-        q = jnp.stack([(lv0["q_packed"] >> (8 * k)) & 0xFF for k in range(3)])
-        f_shifted = (q << jnp.minimum(lv0["shifts"], 8)[:, None, :]) & 0xFF
+        q = jnp.stack([(q_blk >> (8 * k)) & 0xFF for k in range(3)])
+        f_shifted = (q << jnp.minimum(shifts_blk, 8)[:, None, :]) & 0xFF
         out["factors"] = layout.unblockify(
             f_shifted.astype(jnp.uint8), grid0, BLOCK_SIZE
         )
-        out["shift"] = layout.broadcast_block_plane(lv0["shifts"], grid0, BLOCK_SIZE)
-        out["bpp"] = layout.broadcast_block_plane(lv0["bpp_block"], grid0, BLOCK_SIZE)
+        out["shift"] = layout.broadcast_block_plane(shifts_blk, grid0, BLOCK_SIZE)
+        out["bpp"] = layout.broadcast_block_plane(bpp_blk, grid0, BLOCK_SIZE)
         rid_m = jnp.asarray(np.maximum(perm, 0)).astype(jnp.int32)
         for lvl in range(1, num_levels):
             s = 4 ** lvl

@@ -165,3 +165,33 @@ def test_num_factors_bpp_psnr_trade():
     assert stats[1][0] <= stats[2][0] <= stats[3][0]
     # a pure horizontal gradient is 1-axis content: quality stays high
     assert stats[1][1] > 38.0
+
+
+def test_crush_eval_rows_matches_evaluate_shifts(setup):
+    """crush_eval_rows_pallas (segment-crush eval) vs ops.crush.evaluate_shifts."""
+    from limg_tpu.ops.crush import evaluate_shifts
+    from limg_tpu.ops.fit import fit_blocks
+    from limg_tpu.ops.factors import extract_factors, quantize_factors
+    from limg_tpu.pallas_kernels.encode_fixed import crush_eval_rows_pallas
+
+    _, px, mask = setup
+    ch = 3
+    d = fit_blocks(px, mask, ch)
+    f8_u8 = quantize_factors(*extract_factors(px, d, ch))
+    f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
+    pxi = px[:ch].astype(jnp.int32)
+    mask_i = mask.astype(jnp.int32)
+    nb = px.shape[-1]
+    rng = np.random.default_rng(5)
+    shifts = jnp.asarray(rng.integers(0, 9, size=(3, nb)), jnp.int32)
+
+    pm_ref, be_ref = evaluate_shifts(pxi, mask_i, f8, d, shifts, ch)
+
+    packed = pxi[0] + (pxi[1] << 8) + (pxi[2] << 16)
+    f8_packed = f8[0] + (f8[1] << 8) + (f8[2] << 16)
+    eps = [d.dirA_min, d.dirA_max, d.dirB_offset, d.dirB_mag,
+           d.dirC_offset, d.dirC_mag]
+    pm_k, be_k = crush_eval_rows_pallas(packed, mask_i, f8_packed, eps,
+                                        shifts, ch, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pm_ref), np.asarray(pm_k))
+    np.testing.assert_array_equal(np.asarray(be_ref), np.asarray(be_k))

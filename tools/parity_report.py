@@ -142,16 +142,24 @@ def main():
             "ref blocked | limg-tpu merged |",
             "|---|---|---|---|---|---|",
         ]
-        for fam in ("photo", "smooth", "graphics"):
-            base = make_family(fam, hh, ww)
+        real_path = "/root/reference/assets/original.png"
+        families = ["photo", "smooth", "graphics"]
+        if os.path.exists(real_path):
+            families.append("real-photo")  # the reference README's own image
+        for fam in families:
+            if fam == "real-photo":
+                base = np.asarray(Image.open(real_path).convert("RGB"))
+            else:
+                base = make_family(fam, hh, ww)
+            fh, fw = base.shape[:2]
             for alpha in (False, True):
                 if alpha:
-                    y, x = np.mgrid[0:hh, 0:ww].astype(np.float32)
+                    y, x = np.mgrid[0:fh, 0:fw].astype(np.float32)
                     a = np.clip(170 + 80 * np.sin(x / 200), 0, 255).astype(np.uint8)
                     img4 = np.dstack([base, a])
                     Image.fromarray(img4, "RGBA").save("/tmp/parity_fam.png")
                 else:
-                    img4 = np.dstack([base, np.full((hh, ww), 255, np.uint8)])
+                    img4 = np.dstack([base, np.full((fh, fw), 255, np.uint8)])
                     Image.fromarray(base, "RGB").save("/tmp/parity_fam.png")
                 cfg = EncodeConfig(error_factor=100, has_alpha=alpha)
                 rf = run_oracle("/tmp/parity_fam.png", 100, fast=True)
