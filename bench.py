@@ -44,7 +44,9 @@ def main():
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
-    img = jax.device_put(jnp.asarray(np.concatenate([img_np, alpha], axis=-1)))
+    # RGBA bytes reinterpreted as (H, W) int32 words host-side (free view);
+    # the timed step still includes the blockify relayout on device
+    img = jax.device_put(layout.packed_words(np.concatenate([img_np, alpha], axis=-1)))
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
     seed = jnp.int32(0)
 

@@ -96,7 +96,10 @@ def fit_2pt(px_u8, mask, cfg: LegacyConfig):
     corrected = (px - avg[:, None, :]) * m
     dir_a = _signed_unit_mean(corrected, m, inv_count)
 
-    dot = jnp.einsum("cpn,cn->pn", corrected, dir_a)
+    d_b = dir_a[:, None, :]
+    dot = corrected[0] * d_b[0]
+    for c in range(1, corrected.shape[0]):
+        dot = dot + corrected[c] * d_b[c]
     d2 = (dir_a * dir_a).sum(axis=0)
     inv = jnp.where(d2 > 0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
     fac = dot * inv * m
@@ -119,7 +122,12 @@ def fit_2pt(px_u8, mask, cfg: LegacyConfig):
     nrm = (b - a).astype(jnp.float32)
     n2 = (nrm * nrm).sum(axis=0)
     invn = jnp.where(n2 > 0, 1.0 / jnp.maximum(n2, 1e-38), 0.0)
-    fac_ab = jnp.einsum("cpn,cn->pn", px - a.astype(jnp.float32)[:, None, :], nrm) * invn
+    v_ab = px - a.astype(jnp.float32)[:, None, :]
+    n_b = nrm[:, None, :]
+    acc = v_ab[0] * n_b[0]
+    for c in range(1, v_ab.shape[0]):
+        acc = acc + v_ab[c] * n_b[c]
+    fac_ab = acc * invn
     return a, b, fac_ab, accepted, block_err
 
 

@@ -32,7 +32,7 @@ from jax import lax
 from ..config import EncodeConfig
 from .error import weighted_error
 from .fit import Decomposition
-from .decode import DEQUANT_MULT, decode_params
+from .decode import decode_params, dequant_mult
 
 GUESS_TRIPLES = ((4, 5, 6), (5, 8, 8), (4, 6, 8), (2, 4, 5))
 
@@ -60,7 +60,7 @@ def _triple_errors(px, mask_i, f8, normals, mins, shifts):
     """
     s_eff = jnp.minimum(shifts, 8)
     q = f8 >> s_eff[:, None, :]
-    f_dec = q * DEQUANT_MULT[s_eff][:, None, :]
+    f_dec = q * dequant_mult(s_eff)[:, None, :]
     prod = f_dec[:, None] * normals[:, :, None, :] + 128
     est = (mins[:, :, None, :] + (prod >> 8)).sum(axis=0)
     dec = jnp.clip(est, 0, 255)
@@ -221,8 +221,17 @@ def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None)
     # candidate shifts per axis and offset: (4, N)
     offs = jnp.arange(4, dtype=jnp.int32)[:, None]
     s_cand = [jnp.maximum(b[None] - offs, 0) for b in base]
-    d_blk_at = [jnp.take_along_axis(d_blk[ax], s_cand[ax], axis=0) for ax in range(3)]
-    d_pix_at = [jnp.take_along_axis(d_pix[ax], s_cand[ax], axis=0) for ax in range(3)]
+
+    def table9(rows, s):
+        """rows[s] as a 9-way select chain: 1-D/row gathers lower to ~1 ms
+        serial loops on TPU, a select chain is a handful of vector ops."""
+        out = jnp.zeros_like(s)
+        for sv in range(9):
+            out = jnp.where(s == sv, rows[sv][None], out)
+        return out
+
+    d_blk_at = [table9(d_blk[ax], s_cand[ax]) for ax in range(3)]
+    d_pix_at = [table9(d_pix[ax], s_cand[ax]) for ax in range(3)]
 
     def lattice(vals):
         return (
@@ -237,9 +246,19 @@ def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None)
     err_packed = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
     key = (adm << 30) + (totals << 25) + err_packed             # (64, N)
 
-    _, top_idx = lax.top_k(key.T, k)                            # (N, K)
+    # peel the K best indices by repeated argmax (lax.top_k lowers to a full
+    # per-row sort on TPU and dominated the segment-crush profile); min-index
+    # tie-breaking matches the fused kernel's peeling exactly
+    iota64 = jnp.arange(64, dtype=jnp.int32)[:, None]
+    key_work = key
+    peeled = []
+    for _ in range(k):
+        m = key_work.max(axis=0)
+        idx = jnp.where(key_work == m[None], iota64, 64).min(axis=0)
+        peeled.append(idx)
+        key_work = jnp.where(iota64 == idx[None], -(2**31) + 1, key_work)
     # evaluate worst-ranked first so the best-ranked wins ties in the scan
-    top_idx = top_idx[:, ::-1].T                                # (K, N)
+    top_idx = jnp.stack(peeled[::-1])                           # (K, N)
     o = [top_idx // 16, (top_idx // 4) % 4, top_idx % 4]
     cand = jnp.stack(
         [jnp.maximum(base[ax][None] - o[ax], 0) for ax in range(3)], axis=1

@@ -21,6 +21,16 @@ from .fit import Decomposition
 
 # (1 << s) + decode_bias[s] for s = 0..7; slot 8 unused (q == 0 after >> 8).
 DEQUANT_MULT = jnp.array([1, 2, 4, 8, 17, 36, 85, 255, 0], dtype=jnp.int32)
+_MULT_TABLE = (1, 2, 4, 8, 17, 36, 85, 255, 0)
+
+
+def dequant_mult(s_eff: jnp.ndarray) -> jnp.ndarray:
+    """DEQUANT_MULT[s_eff] as a 9-way select chain (table gathers lower to
+    slow serial loops on TPU)."""
+    out = jnp.zeros_like(s_eff)
+    for sv, m in enumerate(_MULT_TABLE):
+        out = jnp.where(s_eff == sv, jnp.int32(m), out)
+    return out
 
 
 def decode_params(d: Decomposition, shifts: jnp.ndarray, channels: int):
@@ -49,7 +59,7 @@ def decode_blocks(q: jnp.ndarray, shifts: jnp.ndarray, d: Decomposition, channel
     """
     normals, mins = decode_params(d, shifts, channels)
     s_eff = jnp.minimum(shifts, 8)
-    mult = DEQUANT_MULT[s_eff]                      # (3, NB)
+    mult = dequant_mult(s_eff)                      # (3, NB)
     f_dec = q * mult[:, None, :]                    # (3, P, NB)
     # (3, ch, P, NB) contributions; arithmetic >> handles negative products.
     prod = f_dec[:, None] * normals[:, :, None, :] + 128

@@ -45,11 +45,21 @@ def extract_factors(px_u8: jnp.ndarray, d: Decomposition, channels: int):
     off_c = d.dirC_offset.astype(jnp.float32)[:, None, :]
 
     v = px - min_a
-    fa = jnp.einsum("cpn,cn->pn", v, na) * ila
+
+    # contraction over the tiny channel axis as an unrolled left-fold:
+    # einsum lowers to MXU-hostile 3-wide batched matmuls on TPU, and the
+    # explicit c0+c1+c2 order matches the fused kernel's bit-exactly
+    def dot_ch(u, n):
+        acc = u[0] * n[0]
+        for c in range(1, u.shape[0]):
+            acc = acc + u[c] * n[c]
+        return acc
+
+    fa = dot_ch(v, na[:, None, :]) * ila
     est = min_a + fa[None] * na[:, None, :]
-    fb = jnp.einsum("cpn,cn->pn", px - est - off_b, nb) * ilb
+    fb = dot_ch(px - est - off_b, nb[:, None, :]) * ilb
     est = est + fb[None] * nb[:, None, :]
-    fc = jnp.einsum("cpn,cn->pn", px - est - off_c, nc) * ilc
+    fc = dot_ch(px - est - off_c, nc[:, None, :]) * ilc
     return fa, fb, fc
 
 

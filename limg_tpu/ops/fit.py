@@ -83,7 +83,10 @@ def _project(v: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     v: (ch, P, NB); direction: (ch, NB). Returns (P, NB). Zero direction
     gives factor 0 (reference zeroes inv lengths for degenerate axes).
     """
-    dot = jnp.einsum("cpn,cn->pn", v, direction)
+    d_b = direction[:, None, :]
+    dot = v[0] * d_b[0]
+    for c in range(1, v.shape[0]):
+        dot = dot + v[c] * d_b[c]
     d2 = (direction * direction).sum(axis=0)  # (NB,)
     inv = jnp.where(d2 > 0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
     return dot * inv

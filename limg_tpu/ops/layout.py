@@ -61,21 +61,40 @@ def blockify(image: jnp.ndarray, block: int = BLOCK_SIZE):
     return px, mask, g
 
 
-def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE):
-    """(H, W, 4) uint8 RGBA -> ((block*block, NB) int32 packed, mask, grid).
+def packed_words(image) -> jnp.ndarray:
+    """(H, W, 4) uint8 RGBA -> (H, W) int32 RGBA words.
 
-    Fast path for the fused kernels: the RGBA byte quadruple IS the packed
-    little-endian int32 word (R in the low byte, matching pack_channels), so
-    packing is a free bitcast and the relayout moves one int32 plane instead
-    of four channel planes. Produces bit-identical output to
-    ``pack_channels(blockify(image)[0])``.
+    On host numpy input this is a free reinterpretation (the byte quadruple
+    IS the little-endian word, R in the low byte, matching pack_channels);
+    prefer passing the words into jitted entry points -- an in-graph bitcast
+    makes XLA re-lay out the whole 33 MB u8 image first (~7 ms on a 4K).
     """
     from jax import lax
 
-    h, w, c = image.shape
-    assert c == 4, "blockify_packed requires an RGBA image"
+    if isinstance(image, np.ndarray):
+        a = np.ascontiguousarray(image)
+        return jnp.asarray(a.view(np.int32).reshape(a.shape[0], a.shape[1]))
+    return lax.bitcast_convert_type(image, jnp.int32)
+
+
+def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE):
+    """RGBA image -> ((block*block, NB) int32 packed words, mask, grid).
+
+    Accepts (H, W, 4) uint8 or pre-packed (H, W) int32 words (see
+    packed_words). Fast path for the fused kernels: packing is a bitcast and
+    the relayout moves one int32 plane instead of four channel planes.
+    Produces bit-identical output to ``pack_channels(blockify(image)[0])``.
+    """
+    from jax import lax
+
+    if image.ndim == 2:
+        packed2d = image
+        h, w = image.shape
+    else:
+        h, w, c = image.shape
+        assert c == 4, "blockify_packed requires an RGBA image"
+        packed2d = lax.bitcast_convert_type(image, jnp.int32)    # (H, W)
     g = grid_for(h, w, block)
-    packed2d = lax.bitcast_convert_type(image, jnp.int32)        # (H, W)
     padded = jnp.pad(packed2d, ((0, g.blocks_y * block - h),
                                 (0, g.blocks_x * block - w)))
     tiles = padded.reshape(g.blocks_y, block, g.blocks_x, block)

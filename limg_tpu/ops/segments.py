@@ -43,6 +43,99 @@ def seg_sum(x: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int) -> jnp.ndarr
     return out.at[..., seg_id].add(x)
 
 
+# --- contiguous-segment variants (no scatters) ------------------------------
+# XLA scatters (`.at[].add/max/min`) serialize on TPU and dominated the
+# coalescing pass (~70 scatter-reductions per encode). When segment members
+# are CONTIGUOUS along the last axis and the segment id equals the first
+# member's position (the compacted run buffer sorts by segment id to
+# guarantee this), every reduction becomes two log2(SEG_CAP)-step doubling
+# scans (shift + same-segment guard + combine) -- pure vector ops.
+
+def _shift_right(x, d, fill):
+    pad = jnp.full((*x.shape[:-1], d), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+
+def _shift_left(x, d, fill):
+    pad = jnp.full((*x.shape[:-1], d), fill, x.dtype)
+    return jnp.concatenate([x[..., d:], pad], axis=-1)
+
+
+def _seg_all_reduce_contig(x, seg_c, op, init, is_sum: bool):
+    """Reduce-to-all over contiguous segments: out[i] = reduce over j with
+    seg_c[j] == seg_c[i]. seg_c: (N,) i32, the segment's first position."""
+    fwd = x
+    bwd = x
+    d = 1
+    while d < min(SEG_CAP, x.shape[-1]):
+        prev_seg = _shift_right(seg_c, d, jnp.int32(-1))
+        fwd = jnp.where(prev_seg == seg_c, op(fwd, _shift_right(fwd, d, init)), fwd)
+        nxt_seg = _shift_left(seg_c, d, jnp.int32(-2))
+        bwd = jnp.where(nxt_seg == seg_c, op(bwd, _shift_left(bwd, d, init)), bwd)
+        d *= 2
+    if is_sum:
+        return fwd + bwd - x   # prefix + suffix both include x once
+    return op(fwd, bwd)        # idempotent ops tolerate the overlap
+
+
+def _dense_by_start(total, seg_c, init):
+    """Reduce-to-all -> the dense (..., S) representation the generic API
+    returns: segment ids ARE buffer positions, so the value sits at the
+    segment's first position and `dense[..., seg_c]` gathers stay valid."""
+    n = total.shape[-1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(pos == seg_c, total, init)
+
+
+def seg_sum_contig(x, seg_c, num_segments: int):
+    assert num_segments == x.shape[-1]
+    total = _seg_all_reduce_contig(x, seg_c, jnp.add, jnp.zeros((), x.dtype), True)
+    return _dense_by_start(total, seg_c, jnp.zeros((), x.dtype))
+
+
+def seg_max_contig(x, seg_c, num_segments: int, init):
+    assert num_segments == x.shape[-1]
+    init = jnp.asarray(init, x.dtype)
+    total = _seg_all_reduce_contig(x, seg_c, jnp.maximum, init, False)
+    return _dense_by_start(total, seg_c, init)
+
+
+def seg_min_contig(x, seg_c, num_segments: int, init):
+    assert num_segments == x.shape[-1]
+    init = jnp.asarray(init, x.dtype)
+    total = _seg_all_reduce_contig(x, seg_c, jnp.minimum, init, False)
+    return _dense_by_start(total, seg_c, init)
+
+
+def seg_sum_all(x, seg_c):
+    """Per-member segment totals (contiguous layout, no dense trip)."""
+    return _seg_all_reduce_contig(x, seg_c, jnp.add, jnp.zeros((), x.dtype), True)
+
+
+def seg_max_all(x, seg_c, init):
+    return _seg_all_reduce_contig(x, seg_c, jnp.maximum, jnp.asarray(init, x.dtype), False)
+
+
+def seg_min_all(x, seg_c, init):
+    return _seg_all_reduce_contig(x, seg_c, jnp.minimum, jnp.asarray(init, x.dtype), False)
+
+
+def _member_reducers():
+    """Reducers returning PER-MEMBER totals with identity back-gather: every
+    member lane carries its segment's value, so all downstream per-block math
+    is gather-free (1-D gathers lower to ~1 ms serial loops on TPU)."""
+    s_sum = lambda x, seg, n: seg_sum_all(x, seg)
+    s_max = lambda x, seg, n, init: seg_max_all(x, seg, init)
+    s_min = lambda x, seg, n, init: seg_min_all(x, seg, init)
+    return s_sum, s_max, s_min
+
+
+def _reducers(contiguous: bool):
+    if contiguous:
+        return seg_sum_contig, seg_max_contig, seg_min_contig
+    return seg_sum, seg_max, seg_min
+
+
 def seg_max(x: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int, init) -> jnp.ndarray:
     out = jnp.full((*x.shape[:-1], num_segments), init, x.dtype)
     return out.at[..., seg_id].max(x)
@@ -58,7 +151,8 @@ def gather_decomp(d: Decomposition, seg_id: jnp.ndarray) -> Decomposition:
     return Decomposition(*(f[..., seg_id] for f in d))
 
 
-def _seg_signed_unit_mean(v, mask, seg_id, num_segments, inv_count_seg):
+def _seg_signed_unit_mean(v, mask, seg_id, num_segments, inv_count_seg,
+                          s_sum=seg_sum):
     """Segment version of fit._signed_unit_mean.
 
     ``v``: (ch, P, NB) residuals. The per-pixel sign/normalization is
@@ -77,37 +171,50 @@ def _seg_signed_unit_mean(v, mask, seg_id, num_segments, inv_count_seg):
     inv_len = jnp.where(len_sq > 0, lax.rsqrt(jnp.maximum(len_sq, 1e-38)), 0.0)
     inv_len = jnp.where(lead < 0, -inv_len, inv_len) * mask
     per_block = (v * inv_len).sum(axis=1)            # (ch, NB)
-    return seg_sum(per_block, seg_id, num_segments) * inv_count_seg
+    return s_sum(per_block, seg_id, num_segments) * inv_count_seg
 
 
-def _seg_project(v, dir_seg, seg_id):
+def _seg_project(v, d_blk):
     """Per-pixel projection onto the owning segment's direction.
 
-    v: (ch, P, NB); dir_seg: (ch, S). Returns (P, NB)."""
-    d_blk = dir_seg[:, seg_id]                        # (ch, NB)
-    dot = jnp.einsum("cpn,cn->pn", v, d_blk)
+    v: (ch, P, NB); d_blk: (ch, NB) per-block directions. Returns (P, NB)."""
+    d_b = d_blk[:, None, :]
+    dot = v[0] * d_b[0]
+    for c in range(1, v.shape[0]):
+        dot = dot + v[c] * d_b[c]
     d2 = (d_blk * d_blk).sum(axis=0)
     inv = jnp.where(d2 > 0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
     return dot * inv
 
 
-def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int) -> Decomposition:
+def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int,
+                 contiguous: bool = False) -> Decomposition:
     """3-axis sequential fit per *segment* (same passes as fit.fit_blocks,
     reductions keyed by seg_id). Returns a Decomposition with (ch, S) fields;
-    segments with no blocks produce zeros (flat path)."""
+    segments with no blocks produce zeros (flat path). ``contiguous=True``
+    (segment members adjacent, id = first position -- the compacted run
+    buffer's layout) switches to scan-based reductions returning PER-MEMBER
+    fields (ch, N): every member carries its segment's value, so downstream
+    per-block math needs no gathers."""
+    if contiguous:
+        s_sum, s_max, s_min = _member_reducers()
+        to_blk = lambda a: a          # per-member values: gathers are identity
+    else:
+        s_sum, s_max, s_min = _reducers(False)
+        to_blk = lambda a: a[..., seg_id]
     px = px_u8[:channels].astype(jnp.float32)         # (ch, P, NB)
     m = mask.astype(jnp.float32)
-    count = seg_sum(m.sum(axis=0), seg_id, num_segments)          # (S,)
+    count = s_sum(m.sum(axis=0), seg_id, num_segments)          # (S,)
     inv_count = 1.0 / jnp.maximum(count, 1.0)
 
-    avg = seg_sum((px * m).sum(axis=1), seg_id, num_segments) * inv_count
-    corrected = (px - avg[:, seg_id][:, None, :]) * m
-    dir_a = _seg_signed_unit_mean(corrected, m, seg_id, num_segments, inv_count)
+    avg = s_sum((px * m).sum(axis=1), seg_id, num_segments) * inv_count
+    corrected = (px - to_blk(avg)[:, None, :]) * m
+    dir_a = _seg_signed_unit_mean(corrected, m, seg_id, num_segments, inv_count, s_sum)
 
-    fac_a = _seg_project(corrected, dir_a, seg_id) * m
-    est = avg[:, seg_id][:, None, :] + fac_a[None] * dir_a[:, seg_id][:, None, :]
+    fac_a = _seg_project(corrected, to_blk(dir_a)) * m
+    est = to_blk(avg)[:, None, :] + fac_a[None] * to_blk(dir_a)[:, None, :]
     resid_a = (px - est) * m
-    dir_b = _seg_signed_unit_mean(resid_a, m, seg_id, num_segments, inv_count)
+    dir_b = _seg_signed_unit_mean(resid_a, m, seg_id, num_segments, inv_count, s_sum)
 
     if channels == 3:
         dir_c = jnp.stack([
@@ -115,15 +222,15 @@ def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int) -> Decom
             dir_a[2] * dir_b[0] - dir_a[0] * dir_b[2],
             dir_a[0] * dir_b[1] - dir_a[1] * dir_b[0],
         ])
-        fac_b = _seg_project(resid_a, dir_b, seg_id) * m
-        est_b = est + fac_b[None] * dir_b[:, seg_id][:, None, :]
-        fac_c = _seg_project((px - est_b) * m, dir_c, seg_id) * m
+        fac_b = _seg_project(resid_a, to_blk(dir_b)) * m
+        est_b = est + fac_b[None] * to_blk(dir_b)[:, None, :]
+        fac_c = _seg_project((px - est_b) * m, to_blk(dir_c)) * m
     else:
-        fac_b = _seg_project(resid_a, dir_b, seg_id) * m
-        est_b = est + fac_b[None] * dir_b[:, seg_id][:, None, :]
+        fac_b = _seg_project(resid_a, to_blk(dir_b)) * m
+        est_b = est + fac_b[None] * to_blk(dir_b)[:, None, :]
         resid_ab = (px - est_b) * m
-        dir_c = _seg_signed_unit_mean(resid_ab, m, seg_id, num_segments, inv_count)
-        fac_c = _seg_project(resid_ab, dir_c, seg_id) * m
+        dir_c = _seg_signed_unit_mean(resid_ab, m, seg_id, num_segments, inv_count, s_sum)
+        fac_c = _seg_project(resid_ab, to_blk(dir_c)) * m
 
     big = jnp.float32(3.4e38)
 
@@ -131,8 +238,8 @@ def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int) -> Decom
         blk_mn = jnp.where(mask, fac, big).min(axis=0)            # (NB,)
         blk_mx = jnp.where(mask, fac, -big).max(axis=0)
         return (
-            seg_min(blk_mn, seg_id, num_segments, big),
-            seg_max(blk_mx, seg_id, num_segments, -big),
+            s_min(blk_mn, seg_id, num_segments, big),
+            s_max(blk_mx, seg_id, num_segments, -big),
         )
 
     mn_a, mx_a = seg_minmax(fac_a)
@@ -162,22 +269,33 @@ def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int) -> Decom
 
 
 def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
-                         num_segments: int, cfg: EncodeConfig):
+                         num_segments: int, cfg: EncodeConfig,
+                         contiguous: bool = False):
     """Bit-crush search with per-*segment* admissibility.
 
     Same searches as ops.crush (dispatch on cfg.crush_mode) but pixel-max /
     block-error reductions run over whole segments, so one shift triple is
     chosen per region exactly like the reference's region encode
     (src/limg.cpp:1514-1534). Returns (shifts (3, S) i32, block_err (S,)).
+    With ``contiguous=True`` everything runs PER MEMBER (d_seg must come from
+    fit_segments(contiguous=True)): the returned shifts/err are (3, N)/(N,)
+    with every member carrying its segment's value -- no gathers anywhere.
     """
     import jax
 
     channels = cfg.channels
+    if contiguous:
+        s_sum, s_max, _ = _member_reducers()
+        d_blk = d_seg                 # fit_segments(contiguous) is per-member
+        to_blk = lambda a: a
+    else:
+        s_sum, s_max, _ = _reducers(False)
+        d_blk = gather_decomp(d_seg, seg_id)
+        to_blk = lambda a: a[..., seg_id]
     px = px_u8[:channels].astype(jnp.int32)
     mask_i = mask.astype(jnp.int32)
     f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
-    d_blk = gather_decomp(d_seg, seg_id)
-    count_seg = seg_sum(mask_i.sum(axis=0), seg_id, num_segments)
+    count_seg = s_sum(mask_i.sum(axis=0), seg_id, num_segments)
     es_blk = _err_scale_shift(px.shape[1])
 
     # On accelerators the per-candidate decode-sim runs in a fused Pallas
@@ -197,15 +315,15 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
                d_blk.dirB_mag, d_blk.dirC_offset, d_blk.dirC_mag]
 
     def eval_fn(shifts_seg):
-        shifts_blk = shifts_seg[:, seg_id]
+        shifts_blk = to_blk(shifts_seg)
         if use_kernel:
             pm, be = crush_eval_rows_pallas(
                 packed, mask_i, f8_packed, eps, shifts_blk, channels
             )
         else:
             pm, be = evaluate_shifts(px, mask_i, f8, d_blk, shifts_blk, channels)
-        pm_s = seg_max(pm, seg_id, num_segments, 0)
-        be_s = seg_sum(be >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
+        pm_s = s_max(pm, seg_id, num_segments, 0)
+        be_s = s_sum(be >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
         return pm_s, be_s
 
     nb = px.shape[-1]

@@ -241,12 +241,24 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
     block's flat index; run_len (NB,) i32 per block).
     """
     from jax import lax
-    from .ops.segments import SEG_CAP, seg_sum
+    from .ops.segments import SEG_CAP
 
     gy, gx = grid.blocks_y, grid.blocks_x
     nb = gy * gx
     own2 = owned.reshape(gy, gx)
     idx2 = jnp.arange(nb, dtype=jnp.int32).reshape(gy, gx)
+
+    from .ops.segments import seg_sum_all
+
+    def axis_run_len(seg2, axis):
+        """Per-cell run length for runs contiguous along ``axis`` of the 2-D
+        grid, via the doubling scan (a generic seg_sum would be a TPU
+        scatter). Row boundaries always break segments, so the flattened
+        scan is safe."""
+        s = seg2 if axis == 1 else seg2.T
+        ln = seg_sum_all(jnp.ones((s.size,), jnp.int32), s.reshape(-1))
+        ln = ln.reshape(s.shape)
+        return ln if axis == 1 else ln.T
 
     # -- horizontal runs ---------------------------------------------------
     if gx > 1:
@@ -260,10 +272,12 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
         # cap run length (segment error-accumulator headroom)
         link_left = link_left & (jnp.arange(gx)[None, :] % SEG_CAP != 0)
         ids = jnp.where(~link_left, idx2, -1)
-        seg_h = lax.cummax(ids, axis=1).reshape(-1)
+        seg_h2 = lax.cummax(ids, axis=1)
+        len_h = axis_run_len(seg_h2, 1).reshape(-1)
+        seg_h = seg_h2.reshape(-1)
     else:
         seg_h = idx2.reshape(-1)
-    len_h = seg_sum(jnp.ones((nb,), jnp.int32), seg_h, nb)[seg_h]
+        len_h = jnp.ones((nb,), jnp.int32)
 
     # -- vertical runs of horizontal singletons -----------------------------
     if gy > 1:
@@ -277,11 +291,18 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
         )
         link_up = link_up & (jnp.arange(gy)[:, None] % SEG_CAP != 0)
         ids_v = jnp.where(~link_up, idx2, -1)
-        seg_v = lax.cummax(ids_v, axis=0).reshape(-1)
-        seg_id = jnp.where(elig2.reshape(-1), seg_v, seg_h)
+        seg_v2 = lax.cummax(ids_v, axis=0)
+        # vertical runs are contiguous along columns: scan the transpose.
+        # ids must be first-positions IN THE SCANNED ORDER, so remap to the
+        # transposed flat index space for the length scan only.
+        ids_t = (seg_v2 % gx) * gy + seg_v2 // gx                 # y*gx+x -> x*gy+y
+        len_v = axis_run_len(ids_t.T, 1).reshape(gx, gy).T.reshape(-1)
+        elig = elig2.reshape(-1)
+        seg_id = jnp.where(elig, seg_v2.reshape(-1), seg_h)
+        run_len = jnp.where(elig, len_v, len_h)
     else:
         seg_id = seg_h
-    run_len = seg_sum(jnp.ones((nb,), jnp.int32), seg_id, nb)[seg_id]
+        run_len = len_h
     return seg_id, run_len
 
 
@@ -296,8 +317,9 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     nothing) and encoded with segment reductions (ops/segments.py). Returns
     the updated level dict plus per-block (applied, region_id) arrays.
     """
+    from jax import lax
     from .ops.segments import (
-        fit_segments, find_shifts_segments, gather_decomp, seg_sum,
+        fit_segments, find_shifts_segments, seg_sum_all,
     )
     from .ops.factors import extract_factors, quantize_factors
     from .ops.dither import dither_crush
@@ -305,44 +327,63 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     from .ops.error import weighted_error
 
     ch = cfg.channels
-    px, mask, _ = layout.blockify(image, bsz)
-    nb = px.shape[-1]
+    if image.ndim == 2 or image.shape[2] == 4:
+        packed_blk, mask, _ = layout.blockify_packed(image, bsz)
+    else:
+        px_full, mask, _ = layout.blockify(image, bsz)
+        from .pallas_kernels.encode_fixed import pack_channels
+        packed_blk = pack_channels(px_full)
+    nb = packed_blk.shape[-1]
     d_lvl = lv["decomp"]
     seg_id, run_len = build_runs(d_lvl, owned, grid, ch)
     is_run = owned & (run_len >= 2)
 
     # -- compact run blocks into a fixed-capacity buffer --------------------
+    # Sorting by (is_run, seg_id) makes every segment's members CONTIGUOUS
+    # in the buffer (stable sort; equal keys keep block order), which lets
+    # all segment reductions run as doubling scans instead of TPU-hostile
+    # scatters, and every per-member value IS its segment's value -- no
+    # seg-id gathers (1-D gathers lower to ~1 ms serial loops on TPU).
     cap = nb if nb <= 256 else max(256, nb // cap_frac)
-    order = jnp.argsort(~is_run, stable=True)                    # runs first
+    sort_key = jnp.where(is_run, seg_id, jnp.int32(2**30))
+    order = jnp.argsort(sort_key, stable=True)                   # runs first
     sel = order[:cap]                                            # (cap,)
-    sel_is_run = is_run[sel]
-    px_c = px[:, :, sel]
+    # batch the per-block 1-D row gathers into one multi-row plane gather
+    rows_i = jnp.stack([
+        seg_id, run_len, is_run.astype(jnp.int32), lv["bits"],
+    ])[:, sel]                                                   # (4, cap)
+    seg_orig, run_len_sel = rows_i[0], rows_i[1]
+    sel_is_run = rows_i[2].astype(bool)
+    old_bits_sel = rows_i[3]
+    old_dist_sel = lv["dist"][sel]   # RD policy only; f32 so not in rows_i
+    packed_c = packed_blk[:, sel]                                # (P, cap)
     mask_c = mask[:, sel] & sel_is_run[None, :]
-    seg_orig = seg_id[sel]                                       # original ids
-    # dense remap: new id = first position of the segment inside the buffer
-    first_pos = jnp.full((nb,), cap, jnp.int32).at[seg_orig].min(
-        jnp.arange(cap, dtype=jnp.int32)
+    px_c = jnp.stack([(packed_c >> (8 * c)) & 0xFF for c in range(ch)])
+    # contiguous remap: new id = first position of the segment in the buffer
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    is_seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_orig[1:] != seg_orig[:-1]]
     )
-    seg_c = first_pos[seg_orig]                                  # (cap,) in [0, cap]
-    seg_c = jnp.minimum(seg_c, cap - 1)
+    seg_c = lax.cummax(jnp.where(is_seg_start, pos, -1))
 
     # runs split by the capacity boundary (or not selected at all) revert
-    len_c = seg_sum(sel_is_run.astype(jnp.int32), seg_c, cap)
-    ok_c = sel_is_run & (len_c[seg_c] == run_len[sel])
+    len_mem = seg_sum_all(sel_is_run.astype(jnp.int32), seg_c)
+    ok_c = sel_is_run & (len_mem == run_len_sel)
 
     # -- segment refit + factor extraction + crush + decode -----------------
-    d_seg = fit_segments(px_c, mask_c, seg_c, cap, ch)
+    # everything below is per-member: fit/crush broadcast each segment's
+    # result to all of its member positions (ops/segments.py contiguous mode)
+    d_blk = fit_segments(px_c, mask_c, seg_c, cap, ch, contiguous=True)
     if cfg.num_factors < 3:
-        d_seg = drop_decomposition_axes(d_seg, cfg.num_factors)
-    d_blk = gather_decomp(d_seg, seg_c)
+        d_blk = drop_decomposition_axes(d_blk, cfg.num_factors)
     f8_u8 = quantize_factors(*extract_factors(px_c, d_blk, ch))
-    shifts_seg, _ = find_shifts_segments(px_c, mask_c, f8_u8, d_seg, seg_c, cap, cfg)
+    shifts_blk, _ = find_shifts_segments(px_c, mask_c, f8_u8, d_blk, seg_c, cap,
+                                         cfg, contiguous=True)
     if cfg.num_factors < 3:
         forced = jnp.asarray(
             [0] * cfg.num_factors + [8] * (3 - cfg.num_factors), jnp.int32
         )
-        shifts_seg = jnp.maximum(shifts_seg, forced[:, None])
-    shifts_blk = shifts_seg[:, seg_c]                            # (3, cap)
+        shifts_blk = jnp.maximum(shifts_blk, forced[:, None])
     f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
     q = dither_crush(key, f8, shifts_blk, enabled=cfg.dithering and cfg.crush_bits)
     decoded = decode_blocks(q, shifts_blk, d_blk, ch)            # (ch, P, cap)
@@ -350,17 +391,17 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     # -- per-block stats on the compacted buffer -----------------------------
     mask_ci = mask_c.astype(jnp.int32)
     count_blk = mask_ci.sum(axis=0)                              # (cap,)
-    err = (weighted_error(decoded, px_c[:ch].astype(jnp.int32)) * mask_ci)
+    err = (weighted_error(decoded, px_c) * mask_ci)
     dist_blk = err.astype(jnp.float32).sum(axis=0)
     s_eff = jnp.minimum(shifts_blk, 8)
     fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)   # (cap,)
     header = static_block_bits(ch)
-    is_start = jnp.arange(cap, dtype=jnp.int32) == seg_c
+    is_start = pos == seg_c
     bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
-    count_seg = seg_sum(count_blk, seg_c, cap)
-    bits_seg = seg_sum(fac_bits_blk, seg_c, cap) + header
-    bpp_seg = jnp.minimum(
-        0xFF, (bits_seg + count_seg // 2) // jnp.maximum(count_seg, 1)
+    count_mem = seg_sum_all(count_blk, seg_c)
+    bits_mem = seg_sum_all(fac_bits_blk, seg_c) + header
+    bpp_mem = jnp.minimum(
+        0xFF, (bits_mem + count_mem // 2) // jnp.maximum(count_mem, 1)
     )
 
     # -- acceptance ----------------------------------------------------------
@@ -370,19 +411,19 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     # silently, src/limg.cpp:1752-1761). Guard: a run is only kept when it
     # does not increase the bit cost (match policy) / the RD cost (rd).
     if merge_policy == "rd":
-        dist_seg = seg_sum(dist_blk, seg_c, cap)
-        new_cost = bits_seg.astype(jnp.float32) + rd_lambda * dist_seg
-        old_cost_seg = seg_sum(
-            jnp.where(sel_is_run, lv["bits"][sel].astype(jnp.float32)
-                      + rd_lambda * lv["dist"][sel], 0.0),
-            seg_c, cap,
+        dist_mem = seg_sum_all(dist_blk, seg_c)
+        new_cost = bits_mem.astype(jnp.float32) + rd_lambda * dist_mem
+        old_cost_mem = seg_sum_all(
+            jnp.where(sel_is_run, old_bits_sel.astype(jnp.float32)
+                      + rd_lambda * old_dist_sel, 0.0),
+            seg_c,
         )
-        accept = ok_c & (new_cost <= old_cost_seg)[seg_c]
+        accept = ok_c & (new_cost <= old_cost_mem)
     else:
-        old_bits_seg = seg_sum(
-            jnp.where(sel_is_run, lv["bits"][sel], 0), seg_c, cap
+        old_bits_mem = seg_sum_all(
+            jnp.where(sel_is_run, old_bits_sel, 0), seg_c
         )
-        accept = ok_c & (bits_seg <= old_bits_seg)[seg_c]
+        accept = ok_c & (bits_mem <= old_bits_mem)
 
     # -- scatter accepted run results back to the full block arrays ---------
     def put(dst, src_c):
@@ -397,7 +438,7 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     lv["shifts"] = put(lv["shifts"], shifts_blk)
     lv["dist"] = put(lv["dist"], dist_blk)
     lv["bits"] = put(lv["bits"], bits_blk)
-    lv["bpp_block"] = put(lv["bpp_block"], bpp_seg[seg_c])
+    lv["bpp_block"] = put(lv["bpp_block"], bpp_mem)
 
     applied = jnp.zeros((nb,), bool).at[sel].set(accept)
     region_id = jnp.where(applied, seg_id, jnp.arange(nb, dtype=jnp.int32))
@@ -478,10 +519,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         return out
 
     dec_plane = select(dec_imgs, "hw")                             # (H, W) i32
-    decoded4 = jnp.stack(
-        [((dec_plane >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(4)],
-        axis=-1,
-    )
+    decoded4 = jax.lax.bitcast_convert_type(dec_plane, jnp.uint8)  # (H, W, 4)
 
     # per-region stats via owned-region reductions; "owned at L" is derived
     # from the owner map (NOT alive & ~parent-alive: the RD cut is not
@@ -564,7 +602,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
 
     ch = cfg.channels
     h, w = image.shape[:2]
-    if image.shape[2] == 4:
+    if image.ndim == 2 or image.shape[2] == 4:
         packed, mask, grid0 = layout.blockify_packed(image, BLOCK_SIZE)
     else:
         px, mask, grid0 = layout.blockify(image, BLOCK_SIZE)
@@ -673,8 +711,8 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     # level-0 state: the coalesce pass and per-pixel plane assembly work on
     # the unpermuted grid, so they need orig-order copies; the no-coalesce
     # fast path keeps everything in Morton order and converts only the
-    # decode plane.
-    owner0 = to_orig(owner)
+    # decode plane. 1-D row conversions are batched into one stacked plane
+    # gather (single-row gathers lower to ~1 ms serial loops on TPU).
     run_region_id = None
     n_runs = jnp.zeros((), jnp.int32)
     run_applied = jnp.zeros((nb,), bool)
@@ -683,17 +721,15 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     total_err = jnp.zeros((), jnp.float32)
 
     if coalesce:
-        count0 = to_orig(cnt0_m)
-        d0 = Decomposition(
-            avg=to_orig(fit[0]["avg"]),
-            dirA_min=to_orig(fit[0]["endpoints"][0]),
-            dirA_max=to_orig(fit[0]["endpoints"][1]),
-            dirB_offset=to_orig(fit[0]["endpoints"][2]),
-            dirB_mag=to_orig(fit[0]["endpoints"][3]),
-            dirC_offset=to_orig(fit[0]["endpoints"][4]),
-            dirC_mag=to_orig(fit[0]["endpoints"][5]),
-        )
-        shifts0 = to_orig(shifts_m)
+        eps0 = fit[0]["endpoints"]
+        rows = to_orig(jnp.concatenate(
+            [owner[None], cnt0_m[None], bpp_blk_m[None], shifts_m, *eps0],
+            axis=0,
+        ))
+        owner0, count0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
+        ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
+        frows = to_orig(jnp.concatenate([dist_m, fit[0]["avg"]], axis=0))
+        d0 = Decomposition(frows[1:1 + ch], *ep_rows)
         s_eff0 = jnp.minimum(shifts0, 8)
         bits0 = header + ((8 - s_eff0) * count0[None]).sum(axis=0)
         lv0 = dict(
@@ -701,9 +737,9 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
             shifts=shifts0,
             q_packed=to_orig(q_m),
             dec_packed=to_orig(dec_m),
-            dist=to_orig(dist_m[0]),
+            dist=frows[0],
             bits=bits0,
-            bpp_block=to_orig(bpp_blk_m),
+            bpp_block=bpp0,
             mask=mask,
             count=count0,
         )
@@ -735,10 +771,13 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         total_err = total_err + (dist_m[0] * own0_i).sum()
         bpp_weighted = (bpp_blk_m.astype(jnp.float32) * cnt0_m).sum()
         dec_blk = to_orig(dec_m)
+        owner0 = None
         if emit_planes:
-            shifts_blk, q_blk, bpp_blk = (
-                to_orig(shifts_m), to_orig(q_m), to_orig(bpp_blk_m)
-            )
+            rows = to_orig(jnp.concatenate(
+                [owner[None], bpp_blk_m[None], shifts_m], axis=0
+            ))
+            owner0, bpp_blk, shifts_blk = rows[0], rows[1], rows[2:5]
+            q_blk = to_orig(q_m)
 
     for lvl in range(1, num_levels):
         s = 4 ** lvl
@@ -757,16 +796,13 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         (alive[l] & (counts[l] > 0)).sum() for l in range(num_levels)
     ])
 
+    # the decode plane stays as packed (H, W) i32 words; the host unpacks
+    # them with a free numpy byte view (a device-side bitcast would force
+    # another 33 MB layout pass)
     dec_plane = layout.unblockify(dec_blk[None], grid0, BLOCK_SIZE)[..., 0]
-    decoded4 = jnp.stack(
-        [((dec_plane >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(4)],
-        axis=-1,
-    )
-    owner_px = layout.broadcast_block_plane(owner0, grid0, BLOCK_SIZE)
 
     out = dict(
-        decoded=decoded4,
-        owner_px=owner_px,
+        decoded_words=dec_plane,
         accum_bits=accum_bits,
         bits_histogram=bits_histogram,
         alive_counts=merged_counts,
@@ -776,6 +812,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         n_runs=n_runs,
     )
     if emit_planes:
+        out["owner_px"] = layout.broadcast_block_plane(owner0, grid0, BLOCK_SIZE)
         q = jnp.stack([(q_blk >> (8 * k)) & 0xFF for k in range(3)])
         f_shifted = (q << jnp.minimum(shifts_blk, 8)[:, None, :]) & 0xFF
         out["factors"] = layout.unblockify(
@@ -815,13 +852,19 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     """
     from .pallas_kernels.encode_merged import MAX_FUSED_LEVELS
 
-    image = jnp.asarray(image)
     key = jax.random.PRNGKey(seed)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if fused is None:
         fused = (use_pallas and merge_policy == "match"
                  and 2 <= num_levels <= MAX_FUSED_LEVELS)
+    if (fused and isinstance(image, np.ndarray) and image.ndim == 3
+            and image.shape[2] == 4 and image.dtype == np.uint8):
+        # free host-side reinterpretation; an in-graph bitcast would make
+        # XLA re-lay out the whole u8 image first (see layout.packed_words)
+        image = layout.packed_words(image)
+    else:
+        image = jnp.asarray(image)
     if fused:
         out = encode_image_merged_fused_device(
             image, cfg, key, num_levels, emit_planes=fetch_planes,
@@ -839,8 +882,13 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     psnr = 10.0 * np.log10(max_possible_error(cfg.channels) / max(mse, 1e-12))
     mean_bpp = out["mean_bpp"]
 
+    if "decoded_words" in out:
+        decoded_np = np.ascontiguousarray(np.asarray(out["decoded_words"]))
+        decoded_np = decoded_np.view(np.uint8).reshape(*decoded_np.shape, 4)
+    else:
+        decoded_np = np.asarray(out["decoded"])
     np_out = dict(
-        decoded=np.asarray(out["decoded"]),
+        decoded=decoded_np,
         alive_counts=np.asarray(out["alive_counts"]),
         bits_histogram=np.asarray(out["bits_histogram"]),
         psnr=float(psnr),

@@ -47,6 +47,23 @@ def pytest_configure(config):
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *args], env)
 
 
+# modules dominated by interpret-mode Pallas kernels or randomized sweeps;
+# the fast tier (-m "not slow") keeps the pure-jnp/golden/native suites
+_SLOW_MODULES = {
+    "test_pallas_kernel",
+    "test_merged_fused",
+    "test_property",
+    "test_reference_oracle",
+    "test_sharding",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

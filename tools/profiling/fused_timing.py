@@ -32,7 +32,10 @@ def main():
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
-    img = jax.device_put(jnp.asarray(np.concatenate([img_np, alpha], axis=-1)))
+    from limg_tpu.ops import layout
+    rgba = np.concatenate([img_np, alpha], axis=-1)
+    img = jax.device_put(layout.packed_words(rgba))
+    img4 = jax.device_put(jnp.asarray(rgba))  # dense path wants (H, W, 4)
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
     key = jax.random.PRNGKey(0)
     mpx = h * w * 1e-6
@@ -45,12 +48,12 @@ def main():
     for coal in (False, True):
         for planes in (False, True):
             f = lambda p=planes, c=coal: encode_image_merged_fused_device(
-                img, cfg, key, 3, emit_planes=p, coalesce=c)["decoded"]
+                img, cfg, key, 3, emit_planes=p, coalesce=c)["decoded_words"]
             t, _ = time_device_fn(f, iters=15, inner=5)
             res[f"fused_planes{int(planes)}_coal{int(coal)}_ms"] = round(t * 1e3, 2)
 
     f = lambda: encode_image_merged_device(
-        img, cfg, key, 3, True, emit_planes=False,
+        img4, cfg, key, 3, True, emit_planes=False,
         merge_policy="match", coalesce=False)["decoded"]
     t, _ = time_device_fn(f, iters=9, inner=3)
     res["dense_planes0_coal0_ms"] = round(t * 1e3, 2)
