@@ -5,16 +5,24 @@ The reference is a research harness with NO bitstream at all -- its
 append-blob prototype at src/limg_internal.h:96-144 shows a format was
 planned but never built. This module completes that capability:
 
-Format "LTP1" v2/v3 (little-endian):
+Format "LTP1" v2/v3/v4 (little-endian):
   magic    4s   b"LTP1"
-  version  u8   2 (raw factor bits) or 3 (rANS-entropy-coded factors)
-  flags    u8   bit0 = has_alpha
+  version  u8   2 (raw factor bits), 3 (rANS-entropy-coded factors), or
+                4 (v3 + coalesced run/rectangle regions at level 0)
+  flags    u8   bit0 = has_alpha; bit1 (v4) = entropy-coded factors
   width    u32
   height   u32
   levels   u8   quadtree levels (1 = fixed grid)
   efactor  u16  error_factor (decoder doesn't need it; kept for tooling)
   owner    ceil(NB0/4) bytes: 2-bit owner level per 8x8 block, row-major
-  per level L in 0..levels-1, for each region owned at L (row-major):
+  codes    v4 only, ceil(NB0/4) bytes: 2-bit join code per 8x8 block
+           (0 = region start / uncoalesced, 1 = join left neighbor's
+           region, 2 = join upper neighbor's region); resolving the joins
+           reconstructs the run/rectangle segmentation
+           (regions.build_runs geometry)
+  per level L in 0..levels-1, for each region owned at L (row-major; in
+  v4, level-0 regions are SEGMENTS: one header per segment leader, factor
+  pixels concatenated over member blocks in ascending flat order):
     shifts   u16: sA | sB<<4 | sC<<8  (0..8 each)
     endpoints 6*ch x 12-bit signed (value+2048), bit-packed LSB-first:
               dirA_min/max, dirB_off/mag, dirC_off/mag per channel
@@ -55,6 +63,7 @@ from .ops.decode import decode_blocks
 _MAGIC = b"LTP1"
 _VERSION = 2
 _VERSION_ENTROPY = 3
+_VERSION_RUNS = 4
 _EP_BITS = 12          # signed endpoint field width (value + 2048)
 _EP_BIAS = 2048
 
@@ -103,16 +112,19 @@ def _owned_masks_from_owner(owner0: np.ndarray, grids, num_levels):
 
 def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
               use_pallas: bool = False, merge_policy: str = "match",
-              rd_lambda: float = 0.01, entropy: bool = True) -> bytes:
+              rd_lambda: float = 0.01, entropy: bool = True,
+              coalesce: bool = True) -> bytes:
     """Encode an (H, W, 4) uint8 image into an LTP1 blob.
 
-    ``entropy=True`` writes v3 (delta + rANS coded factor planes; smaller
-    real files); ``entropy=False`` writes v2 (raw fixed-width factor bits).
-    Note: the serializer uses quadtree (square) regions only; the merged
-    encoder's band-coalescing pass (regions.coalesce_level_bands) is not yet
-    expressible in the owner map, so streams match
-    encode_image_merged(coalesce=False)."""
-    from .regions import encode_levels, merge_levels_alive, rd_merge_keep
+    ``entropy=True`` writes delta + rANS coded factor planes (smaller real
+    files); ``entropy=False`` writes raw fixed-width factor bits.
+    ``coalesce=True`` runs the band/rectangle pass at level 0 and, when any
+    run is kept, writes v4 with a 2-bit join-code plane so ragged regions
+    share one header (the serialized analog of the reference's
+    arbitrary-rectangle growth)."""
+    from .regions import (
+        coalesce_level_bands, encode_levels, merge_levels_alive, rd_merge_keep,
+    )
 
     image = jnp.asarray(image)
     h, w = int(image.shape[0]), int(image.shape[1])
@@ -140,11 +152,45 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
         owner0 = np.where(np.asarray(alive[lvl])[anc.reshape(-1)], lvl, owner0)
     owned = _owned_masks_from_owner(owner0, grids, num_levels)
 
+    nb0 = grids[0].num_blocks
+    run_seg = None
+    if coalesce:
+        ckey = jax.random.fold_in(key, 0x0C0A1E5C)
+        lv0_new, run_applied, run_region_id, n_runs = coalesce_level_bands(
+            image, levels[0], grids[0], jnp.asarray(owned[0]), cfg, ckey,
+            BLOCK_SIZE, merge_policy, rd_lambda,
+        )
+        if int(np.asarray(n_runs)) > 0:
+            levels[0] = lv0_new
+            run_seg = np.asarray(run_region_id)
+            run_app = np.asarray(run_applied)
+
     out = bytearray()
-    version = _VERSION_ENTROPY if entropy else _VERSION
-    out += struct.pack("<4sBBIIBH", _MAGIC, version, int(cfg.has_alpha), w, h,
+    flags = int(cfg.has_alpha)
+    if run_seg is not None:
+        version = _VERSION_RUNS
+        flags |= int(entropy) << 1
+    else:
+        version = _VERSION_ENTROPY if entropy else _VERSION
+    out += struct.pack("<4sBBIIBH", _MAGIC, version, flags, w, h,
                        num_levels, cfg.error_factor & 0xFFFF)
     out += _pack_bits(owner0.astype(np.uint8), 2).tobytes()
+
+    if run_seg is not None:
+        # 2-bit join codes: every run member joins its left or upper
+        # neighbor (guaranteed by the run/rectangle geometry)
+        bx0 = grids[0].blocks_x
+        idx = np.arange(nb0)
+        member = run_app & (run_seg != idx)
+        codes = np.zeros(nb0, np.uint8)
+        left_same = np.zeros(nb0, bool)
+        left_same[1:] = member[1:] & (run_seg[1:] == run_seg[:-1]) & (idx[1:] % bx0 != 0)
+        up_same = np.zeros(nb0, bool)
+        up_same[bx0:] = member[bx0:] & (run_seg[bx0:] == run_seg[:-bx0])
+        codes[left_same] = 1
+        codes[up_same & ~left_same] = 2
+        assert (codes[member] != 0).all(), "run member with no joinable neighbor"
+        out += _pack_bits(codes, 2).tobytes()
 
     axis_syms = [[], [], []]    # v3: per-axis delta symbol chunks
     for lvl in range(num_levels):
@@ -159,18 +205,26 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
         eps = [np.asarray(getattr(d, f)).astype(np.int16)
                for f in ("dirA_min", "dirA_max", "dirB_offset", "dirB_mag",
                          "dirC_offset", "dirC_mag")]
-        for r in np.nonzero(owned[lvl])[0]:
+        own_idx = np.nonzero(owned[lvl])[0]
+        if lvl == 0 and run_seg is not None:
+            order = own_idx[np.argsort(run_seg[own_idx], kind="stable")]
+            bounds = np.flatnonzero(np.diff(run_seg[order])) + 1
+            groups = np.split(order, bounds)        # members share a leader
+        else:
+            groups = [np.array([r]) for r in own_idx]
+        for members in groups:
+            r = int(members[0])                      # leader = smallest idx
             s = np.minimum(shifts[:, r], 8)
             out += struct.pack("<H", int(s[0]) | int(s[1]) << 4 | int(s[2]) << 8)
             ep_vals = np.concatenate([e[:, r].astype(np.int32) for e in eps])
             out += _pack_bits((ep_vals + _EP_BIAS).astype(np.uint32), _EP_BITS).tobytes()
-            valid = mask[:, r]
-            assert valid.sum() == counts[r]
             for k in range(3):
                 width = 8 - int(s[k])
                 if width <= 0:
                     continue
-                vals = q[k][valid, r].astype(np.uint8)
+                vals = np.concatenate(
+                    [q[k][mask[:, m], m] for m in members]
+                ).astype(np.uint8)
                 if entropy:
                     axis_syms[k].append((_delta_mod(vals, width), width))
                 else:
@@ -217,9 +271,9 @@ def deserialize(blob: bytes):
 
     Returns ((H, W, 4) uint8 decoded image, info dict)."""
     magic, ver, flags, w, h, num_levels, ef = struct.unpack_from("<4sBBIIBH", blob, 0)
-    if magic != _MAGIC or ver not in (_VERSION, _VERSION_ENTROPY):
-        raise ValueError("not an LTP1 v2/v3 stream")
-    entropy = ver == _VERSION_ENTROPY
+    if magic != _MAGIC or ver not in (_VERSION, _VERSION_ENTROPY, _VERSION_RUNS):
+        raise ValueError("not an LTP1 v2/v3/v4 stream")
+    entropy = ver == _VERSION_ENTROPY or (ver == _VERSION_RUNS and bool(flags & 2))
     has_alpha = bool(flags & 1)
     ch = 4 if has_alpha else 3
     off = struct.calcsize("<4sBBIIBH")
@@ -231,6 +285,29 @@ def deserialize(blob: bytes):
         np.frombuffer(blob, np.uint8, owner_bytes, off), nb0, 2
     )
     off += owner_bytes
+
+    run_seg = None
+    if ver == _VERSION_RUNS:
+        codes = _unpack_bits(
+            np.frombuffer(blob, np.uint8, owner_bytes, off), nb0, 2
+        ).astype(np.uint8)
+        off += owner_bytes
+        # resolve join codes row by row: up-joins copy the (already
+        # resolved) row above, left-joins forward-fill within the row
+        by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
+        seg2d = np.arange(nb0, dtype=np.int64).reshape(by0, bx0)
+        codes2d = codes.reshape(by0, bx0)
+        col = np.arange(bx0)
+        for y in range(by0):
+            row = seg2d[y]
+            up = codes2d[y] == 2
+            if y and up.any():
+                row[up] = seg2d[y - 1][up]
+            left = codes2d[y] == 1
+            if left.any():
+                fill = np.maximum.accumulate(np.where(left, -1, col))
+                seg2d[y] = row[np.maximum(fill, 0)]
+        run_seg = seg2d.reshape(-1)
 
     # owned masks per level from the owner map
     by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
@@ -257,23 +334,29 @@ def deserialize(blob: bytes):
         shifts = np.zeros((3, nb), np.int32)
         q = np.zeros((3, p, nb), np.int32)
         eps = [np.zeros((ch, nb), np.int32) for _ in range(6)]
-        for r in np.nonzero(owned[lvl])[0]:
+        own_idx = np.nonzero(owned[lvl])[0]
+        if lvl == 0 and run_seg is not None:
+            order = own_idx[np.argsort(run_seg[own_idx], kind="stable")]
+            bounds = np.flatnonzero(np.diff(run_seg[order])) + 1
+            groups = np.split(order, bounds)
+        else:
+            groups = [np.array([r]) for r in own_idx]
+        for members in groups:
             (sword,) = struct.unpack_from("<H", blob, off)
             off += 2
             s = [sword & 0xF, (sword >> 4) & 0xF, (sword >> 8) & 0xF]
-            shifts[:, r] = s
+            shifts[:, members] = np.asarray(s)[:, None]
             ep_bytes = -(-6 * ch * _EP_BITS // 8)
             ep_vals = _unpack_bits(
                 np.frombuffer(blob, np.uint8, ep_bytes, off), 6 * ch, _EP_BITS
             ).astype(np.int32) - _EP_BIAS
             off += ep_bytes
             for j, e in enumerate(eps):
-                e[:, r] = ep_vals[j * ch:(j + 1) * ch]
-            n = int(counts[r])
+                e[:, members] = ep_vals[j * ch:(j + 1) * ch, None]
+            n = int(counts[members].sum())
             if entropy:
-                pending.append((lvl, r, n, s))
+                pending.append((lvl, members, n, s))
                 continue
-            valid = mask_np[:, r]
             for k in range(3):
                 width = 8 - s[k]
                 if width > 0:
@@ -282,7 +365,11 @@ def deserialize(blob: bytes):
                         np.frombuffer(blob, np.uint8, nbytes, off), n, width
                     )
                     off += nbytes
-                    q[k][valid, r] = vals
+                    pos_m = 0
+                    for m in members:
+                        cnt_m = int(counts[m])
+                        q[k][mask_np[:, m], m] = vals[pos_m:pos_m + cnt_m]
+                        pos_m += cnt_m
         level_arrays.append((shifts, q, eps, mask_np))
 
     if entropy:
@@ -304,20 +391,24 @@ def deserialize(blob: bytes):
                 )
                 off += n_bytes
                 pos = 0
-                for lvl, r, n, s in pending:
+                for lvl, members, n, s in pending:
                     width = 8 - s[k]
                     if width <= 0:
                         continue
                     _, q_l, _, mask_np = level_arrays[lvl]
                     vals = _undelta_mod(syms[pos:pos + n], width)
                     pos += n
-                    q_l[k][mask_np[:, r], r] = vals
+                    pos_m = 0
+                    for m in members:
+                        cnt_m = int(mask_np[:, m].sum())
+                        q_l[k][mask_np[:, m], m] = vals[pos_m:pos_m + cnt_m]
+                        pos_m += cnt_m
                 assert pos == n_syms
             else:
                 (n_bytes,) = struct.unpack_from("<I", blob, off)
                 off += 4
                 pos = off
-                for lvl, r, n, s in pending:
+                for lvl, members, n, s in pending:
                     width = 8 - s[k]
                     if width <= 0:
                         continue
@@ -327,7 +418,12 @@ def deserialize(blob: bytes):
                         np.frombuffer(blob, np.uint8, nbytes, pos), n, width
                     ).astype(np.uint8)
                     pos += nbytes
-                    q_l[k][mask_np[:, r], r] = _undelta_mod(d_vals, width)
+                    vals = _undelta_mod(d_vals, width)
+                    pos_m = 0
+                    for m in members:
+                        cnt_m = int(mask_np[:, m].sum())
+                        q_l[k][mask_np[:, m], m] = vals[pos_m:pos_m + cnt_m]
+                        pos_m += cnt_m
                 assert pos == off + n_bytes
                 off = pos
 

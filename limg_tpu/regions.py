@@ -303,6 +303,54 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
     else:
         seg_id = seg_h
         run_len = len_h
+
+    # -- rectangles: stack vertically-aligned equal-span horizontal runs ----
+    # The reference's grower forms arbitrary rectangles (src/limg.cpp:
+    # 1390-1496); runs already cover 1-D bands, and since the coalescing
+    # buffer groups members by SORTING on segment id (not by geometry),
+    # stacking rows costs nothing downstream. A run links to the run above
+    # when the spans align exactly and every vertical block pair matches.
+    # Width is capped at 8 and row chains break every 16 rows so a
+    # rectangle never exceeds SEG_CAP = 128 members.
+    if gy > 1 and gx > 1:
+        len_h2 = len_h.reshape(gy, gx)
+        is_hrun = own2 & (len_h2 >= 2) & (len_h2 <= 8)
+        # AND of the per-block vertical matches across the run's span,
+        # broadcast to every member by the contiguous scan (min == AND)
+        from .ops.segments import seg_min_all
+
+        vmatch = jnp.zeros((gy, gx), jnp.int32).at[1:, :].set(
+            m_up.astype(jnp.int32)
+        )
+        vand = seg_min_all(
+            vmatch.reshape(-1), seg_h, 1
+        ).reshape(gy, gx)                                         # (gy, gx)
+        same_span = jnp.zeros((gy, gx), bool).at[1:, :].set(
+            (seg_h2[1:] - gx == seg_h2[:-1]) & (len_h2[1:] == len_h2[:-1])
+        )
+        link_rect = (
+            same_span & (vand > 0) & is_hrun
+            & jnp.concatenate([jnp.zeros((1, gx), bool), is_hrun[:-1]], axis=0)
+            & (jnp.arange(gy)[:, None] % 16 != 0)
+        )
+        # top row of each rectangle, per cell (uniform across a run's span)
+        yy = jnp.broadcast_to(jnp.arange(gy, dtype=jnp.int32)[:, None], (gy, gx))
+        r0 = lax.cummax(jnp.where(link_rect, -1, yy), axis=0)
+        # bottom row: reverse cummin of rows NOT linked from below
+        linked_below = jnp.concatenate(
+            [link_rect[1:], jnp.zeros((1, gx), bool)], axis=0
+        )
+        r1 = lax.cummin(
+            jnp.where(linked_below, gy, yy)[::-1], axis=0
+        )[::-1]
+        rows_total = r1 - r0 + 1
+        x_start = seg_h2 - yy * gx
+        rect_id = r0 * gx + x_start
+        in_rect = is_hrun & (rows_total >= 2)
+        seg_id = jnp.where(in_rect.reshape(-1), rect_id.reshape(-1), seg_id)
+        run_len = jnp.where(
+            in_rect.reshape(-1), (rows_total * len_h2).reshape(-1), run_len
+        )
     return seg_id, run_len
 
 
@@ -439,6 +487,11 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     lv["dist"] = put(lv["dist"], dist_blk)
     lv["bits"] = put(lv["bits"], bits_blk)
     lv["bpp_block"] = put(lv["bpp_block"], bpp_mem)
+    # the run's refit decomposition, so downstream consumers (the LTP1
+    # serializer's region headers) see the endpoints the run decodes with
+    lv["decomp"] = Decomposition(*(
+        put(dst, src) for dst, src in zip(lv["decomp"], d_blk)
+    ))
 
     applied = jnp.zeros((nb,), bool).at[sel].set(accept)
     region_id = jnp.where(applied, seg_id, jnp.arange(nb, dtype=jnp.int32))

@@ -26,7 +26,8 @@ def test_roundtrip_exact(rng, num_levels):
     cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
     blob = serialize(img, cfg, seed=0, num_levels=num_levels)
     dec, info = deserialize(blob)
-    ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels, coalesce=False)
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels,
+                              coalesce=True, fused=False)
     assert np.array_equal(dec, ref["decoded"])
     assert info["levels"] == num_levels
     assert info["real_bpp"] < 32  # always beats raw RGBA
@@ -41,7 +42,8 @@ def test_roundtrip_rgba(rng):
     blob = serialize(img, cfg, seed=0, num_levels=2)
     dec, info = deserialize(blob)
     assert info["has_alpha"]
-    ref = encode_image_merged(img, cfg, seed=0, num_levels=2, coalesce=False)
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=2,
+                              coalesce=True, fused=False)
     assert np.array_equal(dec, ref["decoded"])
 
 
@@ -96,3 +98,21 @@ def test_rans_codec_roundtrip():
     assert np.array_equal(native.rans_decode(blob, freqs, syms.size), syms)
     # skewed data compresses well below 8 bits/symbol
     assert len(blob) * 8 < 4 * syms.size
+
+
+def test_v4_runs_roundtrip_and_smaller():
+    """Coalesced runs serialize as v4 (join-code plane + shared headers),
+    decode exactly, and shrink the stream on banded content."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (64, 96, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    img[8:24, :, :3] = [60, 120, 200]   # band straddling the quadtree lines
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    b_run = serialize(img, cfg, seed=0, num_levels=3, coalesce=True)
+    b_no = serialize(img, cfg, seed=0, num_levels=3, coalesce=False)
+    assert b_run[4] == 4 and b_no[4] == 3     # version bytes
+    dec, info = deserialize(b_run)
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=3,
+                              coalesce=True, fused=False)
+    assert np.array_equal(dec, ref["decoded"])
+    assert len(b_run) < len(b_no)

@@ -75,3 +75,21 @@ def test_fused_two_levels_flat_image(rng):
     assert out["alive_counts"][0] == 30 and out["alive_counts"][1] == 9
     assert (out["owner_px"] == 1).all()
     assert out["psnr"] > 50
+
+
+def test_rectangle_coalescing_on_straddling_band(rng):
+    """A flat band straddling the quadtree's 16-px lines cannot merge in the
+    quadtree; rectangle coalescing must stack its vertically aligned runs
+    (reference analog: arbitrary-rectangle growth, src/limg.cpp:1390-1496)."""
+    img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    img[8:24, :] = [60, 120, 200]
+    cfg = EncodeConfig(error_factor=100, dithering=False)
+    a = encode_image_merged(img, cfg, num_levels=3, use_pallas=True,
+                            fused=True, coalesce=False)
+    b = encode_image_merged(img, cfg, num_levels=3, use_pallas=True,
+                            fused=True, coalesce=True)
+    assert b["mean_bpp"] < a["mean_bpp"] - 0.5
+    assert b["psnr"] > a["psnr"] - 0.2
+    # the 2x12-block band must collapse to a handful of multi-row regions
+    band_ids = np.unique(b["region_id"][8:24, :])
+    assert len(band_ids) <= 3
