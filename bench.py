@@ -60,6 +60,28 @@ def main():
 
     per_call, det = time_device_fn(lambda: step(img, cfg, seed), iters=50, inner=5)
 
+    # secondary metric: the merged (blocked-path analog) encoder via the
+    # fused Morton pipeline, reference baseline 0.662 Mpx/s single-core
+    # blocked (BASELINE_MEASURED.md) -> ~10.6 Mpx/s est. 16-core
+    merged_det = {}
+    try:
+        from limg_tpu.regions import encode_image_merged_fused_device
+
+        key = jax.random.PRNGKey(0)
+        fm = lambda: encode_image_merged_fused_device(
+            img, cfg, key, 3, emit_planes=False, coalesce=True
+        )["decoded_words"]
+        t_m, _ = time_device_fn(fm, iters=15, inner=5)
+        merged_det = {
+            "merged_ms_per_image": round(t_m * 1e3, 3),
+            "merged_mpxs": round(h * w * 1e-6 / t_m, 1),
+            "merged_vs_blocked_16core_est": round(
+                h * w * 1e-6 / t_m / (0.662 * 16.0), 1
+            ),
+        }
+    except Exception as e:  # keep the headline robust
+        merged_det = {"merged_error": repr(e)[:120]}
+
     # the development TPU is a shared tunneled pool with 2-4x run-to-run
     # contention noise; the headline is the median, best-of-batches is in
     # details (the reference harness reports min/max, src/main.cpp:310-323)
@@ -78,6 +100,7 @@ def main():
             "baseline_mpxs_est_16core": BASELINE_MPXS,
             "baseline_mpxs_measured_1core": CPU_SINGLE_CORE_MPXS,
             "device": str(jax.devices()[0]),
+            **merged_det,
         },
     }))
 

@@ -18,9 +18,13 @@ import jax
 
 
 def _sync_scalar(out):
-    """Fetch one scalar from an arbitrary pytree of device arrays."""
+    """Fetch one scalar from an arbitrary pytree of device arrays.
+
+    Indexes a single element rather than reshape(-1)[:1]: the reshape
+    dispatches a full relayout of the output (measured multiple ms on a
+    (H, W) plane), which would be charged to the timed batch."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    return np.asarray(leaf.reshape(-1)[:1])
+    return np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def time_device_fn(fn, *args, iters: int = 20, inner: int = 5):
