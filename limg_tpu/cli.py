@@ -4,6 +4,8 @@ Usage:
     python -m limg_tpu.cli <image> [--no-output] [--error-factor N]
                            [--accurate-bit-crushing] [--fixed-grid]
                            [--single-thread] [--count N]
+                           [--write-ltp1 FILE]
+    python -m limg_tpu.cli <stream.ltp1> --decode-ltp1
     python -m limg_tpu.cli -- [--count N] [--error-factor N] -- <files...>
 
 Single-image mode runs the merged (blocked) encoder, prints timing/PSNR/bpp
@@ -19,6 +21,10 @@ Flag mapping vs the reference:
                           is the device, not a thread pool)
 - --fixed-grid            use the no-merging encoder (limg_encode3d_test
                           analog) instead of the blocked/merged default
+- --write-ltp1 FILE       additionally serialize the LTP1 bitstream (real
+                          compressed file; beyond the reference, which has
+                          no file format at all)
+- --decode-ltp1           treat <source> as an LTP1 stream: decode to TGA
 - --factors N             reduced-factor fast modes: encode with N of the
                           3 factor axes (1 = A only, 2 = A+B; default 3).
                           Dropped axes use the shift=8 encoding
@@ -46,6 +52,7 @@ def _parse_args(argv):
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
         count=1, files=[], source=None, list_mode=False, use_pallas=None,
         diagnose=False, merge_policy="match", num_factors=3,
+        write_ltp1=None, decode_ltp1=None,
     )
     if not argv:
         print(__doc__)
@@ -73,6 +80,11 @@ def _parse_args(argv):
             opts["diagnose"] = True
         elif a == "--rd-merge":
             opts["merge_policy"] = "rd"
+        elif a == "--write-ltp1":
+            i += 1
+            opts["write_ltp1"] = argv[i]
+        elif a == "--decode-ltp1":
+            opts["decode_ltp1"] = opts["source"]
         elif a == "--error-factor":
             i += 1
             opts["error_factor"] = int(argv[i])
@@ -117,6 +129,19 @@ def main(argv=None):
 
     opts = _parse_args(argv if argv is not None else sys.argv[1:])
     crush_mode = "exhaustive" if opts["accurate"] else "ladder"
+
+    if opts["decode_ltp1"]:
+        # standalone decode of a serialized LTP1 stream -> TGA
+        from .bitstream import deserialize
+
+        with open(opts["decode_ltp1"], "rb") as f:
+            dec, info = deserialize(f.read())
+        print(f"{info['width']} x {info['height']} pixels, "
+              f"{info['levels']} levels, errorFactor {info['error_factor']}, "
+              f"real {info['real_bpp']:.3f} bits per pixel.")
+        write_tga("limg_decoded.tga", dec)
+        print("Wrote limg_decoded.tga.")
+        return
 
     if opts["list_mode"]:
         _run_list_mode(opts, crush_mode)
@@ -172,6 +197,21 @@ def main(argv=None):
         print(format_culprits(
             crush_culprits(px, mask, f8, d, shifts, cfg), merge_stats
         ))
+
+    if opts["write_ltp1"]:
+        from .bitstream import serialize
+
+        blob = serialize(
+            image, cfg, num_levels=1 if opts["fixed_grid"] else 3,
+            merge_policy=opts["merge_policy"],
+        )
+        with open(opts["write_ltp1"], "wb") as f:
+            f.write(blob)
+        print(
+            "Wrote %s: %d bytes = %.4f real bits per pixel (the reference "
+            "has no bitstream; its number above is an estimate)."
+            % (opts["write_ltp1"], len(blob), len(blob) * 8.0 / (w * h))
+        )
 
     if opts["write_output"]:
         write_tga("limg_out.tga", out["decoded"])
