@@ -138,6 +138,56 @@ def encode_corpus_sharded(images, cfg: EncodeConfig, n_devices: int | None = Non
     }
 
 
+def encode_corpus_sharded_merged(images, cfg: EncodeConfig,
+                                 n_devices: int | None = None, seed: int = 0,
+                                 num_levels: int = 3, coalesce: bool = True):
+    """Corpus encode with the DEFAULT (merged/blocked-analog) encoder
+    sharded over a device mesh.
+
+    Same contract as encode_corpus_sharded (same-shape (N, H, W, C) batch, N
+    divisible by the mesh), but every image runs the fused Morton merged
+    pipeline (quadtree merge + run/rectangle coalescing) instead of the
+    fixed grid; per-image encodes are embarrassingly parallel across chips
+    and the corpus-mean PSNR is an on-device psum.
+    """
+    from ..regions import encode_image_merged_fused_device
+
+    mesh = make_mesh(n_devices)
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("img"), P("img")),
+        out_specs=(P("img"), P("img"), P()),
+        check_vma=False,
+    )
+    def shard_fn(imgs, ks):
+        def one(args):
+            im, k = args
+            out = encode_image_merged_fused_device(
+                im, cfg, k, num_levels, emit_planes=False, coalesce=coalesce
+            )
+            npx = im.shape[0] * im.shape[1]
+            mse = out["total_err"] / npx
+            psnr = 10.0 * jnp.log10(
+                max_possible_error(cfg.channels) / jnp.maximum(mse, 1e-12)
+            )
+            return psnr, out["mean_bpp"]
+
+        psnr, bpp = jax.lax.map(one, (imgs, ks))
+        mean_psnr = jax.lax.psum(psnr.sum(), "img") / n
+        return psnr, bpp, mean_psnr
+
+    psnr, bpp, mean_psnr = jax.jit(shard_fn)(images, keys)
+    return {
+        "psnr": np.asarray(psnr),
+        "bpp": np.asarray(bpp),
+        "mean_psnr": float(mean_psnr),
+    }
+
+
 def encode_corpus_sharded_mixed(images, cfg: EncodeConfig,
                                 n_devices: int | None = None, seed: int = 0,
                                 use_pallas: bool = False):

@@ -93,3 +93,16 @@ def test_rectangle_coalescing_on_straddling_band(rng):
     # the 2x12-block band must collapse to a handful of multi-row regions
     band_ids = np.unique(b["region_id"][8:24, :])
     assert len(band_ids) <= 3
+
+
+def test_fused_four_levels(rng):
+    """num_levels=4 (64x64-px regions, 8x8 Morton supercells, es=4 error
+    scaling in the owner reducer) runs end to end and merges a flat image
+    to the top level."""
+    img = np.full((70, 70, 3), [90, 150, 60], np.uint8)
+    cfg = EncodeConfig(error_factor=100, dithering=False)
+    out = encode_image_merged(img, cfg, num_levels=4, use_pallas=True,
+                              fused=True, coalesce=False)
+    assert out["alive_counts"].shape == (4,)
+    assert out["psnr"] > 50
+    assert (out["owner_px"] == 3).all()  # fully flat -> all top-level owned

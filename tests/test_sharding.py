@@ -85,3 +85,23 @@ def test_corpus_sharded_mixed_sizes():
         np.stack(imgs[:5] + imgs[:3]), cfg, n_devices=8
     )
     np.testing.assert_allclose(out["psnr"][:5], direct["psnr"][:5], rtol=1e-6)
+
+
+def test_corpus_sharded_merged():
+    """The merged (default) encoder sharded over the 8-device mesh: per-image
+    quadtree merge + coalescing inside shard_map + lax.map."""
+    from limg_tpu.parallel.mesh import encode_corpus_sharded_merged
+
+    rng = np.random.default_rng(11)
+    imgs = np.stack([make_test_image(rng, 40, 48) for _ in range(8)])
+    imgs[0, :16, :, :3] = [50, 100, 150]  # give one image mergeable content
+    cfg = EncodeConfig(error_factor=100, dithering=False)
+    out = encode_corpus_sharded_merged(imgs, cfg, n_devices=8, num_levels=2)
+    assert out["psnr"].shape == (8,)
+    assert (out["psnr"] > 25).all()
+    assert (out["bpp"] > 0).all() and (out["bpp"] < 32).all()
+    # cross-check one image against the host-facing merged API
+    from limg_tpu.regions import encode_image_merged
+    ref = encode_image_merged(imgs[1], cfg, seed=0, num_levels=2,
+                              use_pallas=True, fused=True)
+    assert abs(out["psnr"][1] - ref["psnr"]) < 2.0  # different dither keys
