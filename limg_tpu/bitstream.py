@@ -156,11 +156,19 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
     run_seg = None
     if coalesce:
         ckey = jax.random.fold_in(key, 0x0C0A1E5C)
+        # rd optimizes the REAL serialized header (matching rd_merge_keep
+        # above); the match policy keeps the reference's estimate so streams
+        # stay bit-matched to the in-memory merged encode
+        hdr = region_header_bits(ch) if merge_policy == "rd" else None
         lv0_new, run_applied, run_region_id, n_runs = coalesce_level_bands(
             image, levels[0], grids[0], jnp.asarray(owned[0]), cfg, ckey,
-            BLOCK_SIZE, merge_policy, rd_lambda,
+            BLOCK_SIZE, merge_policy, rd_lambda, header_bits=hdr,
         )
-        if int(np.asarray(n_runs)) > 0:
+        # v4 pays a 2-bit-per-block join-code plane; only choose it when the
+        # headers the runs share actually save more than that
+        n_segments = int(np.asarray(n_runs))
+        n_joined = int(np.asarray(run_applied).sum()) - n_segments
+        if n_segments > 0 and n_joined * region_header_bits(ch) > 2 * nb0:
             levels[0] = lv0_new
             run_seg = np.asarray(run_region_id)
             run_app = np.asarray(run_applied)
@@ -189,7 +197,8 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
         up_same[bx0:] = member[bx0:] & (run_seg[bx0:] == run_seg[:-bx0])
         codes[left_same] = 1
         codes[up_same & ~left_same] = 2
-        assert (codes[member] != 0).all(), "run member with no joinable neighbor"
+        if not (codes[member] != 0).all():
+            raise RuntimeError("run member with no joinable neighbor")
         out += _pack_bits(codes, 2).tobytes()
 
     axis_syms = [[], [], []]    # v3: per-axis delta symbol chunks
@@ -237,18 +246,18 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
             chunks = axis_syms[k]
             syms = (np.concatenate([c for c, _ in chunks]) if chunks
                     else np.zeros(0, np.uint8))
-            raw = b"".join(
-                _pack_bits(c, wd).tobytes() for c, wd in chunks
-            )
+            raw_len = sum(-(-c.size * wd // 8) for c, wd in chunks)
             freqs = native.rans_quantize_freqs(np.bincount(syms, minlength=256))
             stream = native.rans_encode(syms, freqs) if syms.size else b""
             n_freq = int(np.max(np.nonzero(freqs)[0])) + 1 if freqs.any() else 1
             rans_size = 8 + 2 + 2 * n_freq + len(stream)
-            if rans_size < 4 + len(raw):
+            if rans_size < 4 + raw_len:
                 out += struct.pack("<BIIH", 1, syms.size, len(stream), n_freq)
                 out += freqs[:n_freq].astype(np.uint16).tobytes()
                 out += stream
             else:
+                # only materialize the multi-MB raw packing when it wins
+                raw = b"".join(_pack_bits(c, wd).tobytes() for c, wd in chunks)
                 out += struct.pack("<BI", 0, len(raw))
                 out += raw
     return bytes(out)
@@ -264,6 +273,17 @@ def _delta_mod(vals: np.ndarray, width: int) -> np.ndarray:
 
 def _undelta_mod(d: np.ndarray, width: int) -> np.ndarray:
     return (np.cumsum(d.astype(np.int64)) & ((1 << width) - 1)).astype(np.uint8)
+
+
+def _scatter_members(q_plane, mask_np, members, vals):
+    """Distribute a segment's concatenated pixel values back to its member
+    blocks (ascending flat order -- the serializer's concatenation order)."""
+    pos_m = 0
+    for m in members:
+        sel = mask_np[:, m]
+        cnt_m = int(sel.sum())
+        q_plane[sel, m] = vals[pos_m:pos_m + cnt_m]
+        pos_m += cnt_m
 
 
 def deserialize(blob: bytes):
@@ -365,11 +385,7 @@ def deserialize(blob: bytes):
                         np.frombuffer(blob, np.uint8, nbytes, off), n, width
                     )
                     off += nbytes
-                    pos_m = 0
-                    for m in members:
-                        cnt_m = int(counts[m])
-                        q[k][mask_np[:, m], m] = vals[pos_m:pos_m + cnt_m]
-                        pos_m += cnt_m
+                    _scatter_members(q[k], mask_np, members, vals)
         level_arrays.append((shifts, q, eps, mask_np))
 
     if entropy:
@@ -398,12 +414,9 @@ def deserialize(blob: bytes):
                     _, q_l, _, mask_np = level_arrays[lvl]
                     vals = _undelta_mod(syms[pos:pos + n], width)
                     pos += n
-                    pos_m = 0
-                    for m in members:
-                        cnt_m = int(mask_np[:, m].sum())
-                        q_l[k][mask_np[:, m], m] = vals[pos_m:pos_m + cnt_m]
-                        pos_m += cnt_m
-                assert pos == n_syms
+                    _scatter_members(q_l[k], mask_np, members, vals)
+                if pos != n_syms:
+                    raise ValueError("corrupt LTP1 stream: symbol count mismatch")
             else:
                 (n_bytes,) = struct.unpack_from("<I", blob, off)
                 off += 4
@@ -418,13 +431,10 @@ def deserialize(blob: bytes):
                         np.frombuffer(blob, np.uint8, nbytes, pos), n, width
                     ).astype(np.uint8)
                     pos += nbytes
-                    vals = _undelta_mod(d_vals, width)
-                    pos_m = 0
-                    for m in members:
-                        cnt_m = int(mask_np[:, m].sum())
-                        q_l[k][mask_np[:, m], m] = vals[pos_m:pos_m + cnt_m]
-                        pos_m += cnt_m
-                assert pos == off + n_bytes
+                    _scatter_members(q_l[k], mask_np, members,
+                                     _undelta_mod(d_vals, width))
+                if pos != off + n_bytes:
+                    raise ValueError("corrupt LTP1 stream: raw section length mismatch")
                 off = pos
 
     for lvl in range(num_levels):

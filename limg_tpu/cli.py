@@ -57,6 +57,14 @@ def _parse_args(argv):
     if not argv:
         print(__doc__)
         sys.exit(0)
+    if argv[0] == "--decode-ltp1":
+        # flag-first order: the stream path follows the flag
+        if len(argv) < 2:
+            print("--decode-ltp1 needs a stream path. Aborting.")
+            sys.exit(1)
+        opts["decode_ltp1"] = argv[1]
+        opts["source"] = argv[1]
+        return opts
     opts["source"] = argv[0]
     if argv[0] == "--":
         opts["list_mode"] = True

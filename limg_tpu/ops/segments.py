@@ -174,17 +174,9 @@ def _seg_signed_unit_mean(v, mask, seg_id, num_segments, inv_count_seg,
     return s_sum(per_block, seg_id, num_segments) * inv_count_seg
 
 
-def _seg_project(v, d_blk):
-    """Per-pixel projection onto the owning segment's direction.
-
-    v: (ch, P, NB); d_blk: (ch, NB) per-block directions. Returns (P, NB)."""
-    d_b = d_blk[:, None, :]
-    dot = v[0] * d_b[0]
-    for c in range(1, v.shape[0]):
-        dot = dot + v[c] * d_b[c]
-    d2 = (d_blk * d_blk).sum(axis=0)
-    inv = jnp.where(d2 > 0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
-    return dot * inv
+# per-pixel projection onto the owning segment's direction: identical math
+# and shapes to the per-block fit projection
+from .fit import _project as _seg_project  # noqa: E402
 
 
 def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int,

@@ -357,8 +357,13 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
 def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
                          cfg: EncodeConfig, key, bsz: int,
                          merge_policy: str, rd_lambda: float,
-                         cap_frac: int = 4):
+                         cap_frac: int = 4, header_bits: int | None = None):
     """Refit + re-encode coalesced runs at one level, updating ``lv``.
+
+    ``header_bits`` overrides the per-region header cost used by the
+    acceptance guard (default: the reference's static_block_bits estimate);
+    the LTP1 serializer passes its real serialized header so runs are kept
+    exactly when they shrink the actual file.
 
     Run blocks are compacted into a fixed-capacity buffer (static shapes;
     capacity = NB/cap_frac, so photo content with few runs pays almost
@@ -443,7 +448,7 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     dist_blk = err.astype(jnp.float32).sum(axis=0)
     s_eff = jnp.minimum(shifts_blk, 8)
     fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)   # (cap,)
-    header = static_block_bits(ch)
+    header = static_block_bits(ch) if header_bits is None else header_bits
     is_start = pos == seg_c
     bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
     count_mem = seg_sum_all(count_blk, seg_c)
@@ -458,6 +463,10 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     # factor bits than the amortized header saves (the reference pays this
     # silently, src/limg.cpp:1752-1761). Guard: a run is only kept when it
     # does not increase the bit cost (match policy) / the RD cost (rd).
+    if header_bits is not None:
+        # lv["bits"] was computed with the static header estimate; swap in
+        # the real header so old and new costs use the same units
+        old_bits_sel = old_bits_sel + (header_bits - static_block_bits(ch))
     if merge_policy == "rd":
         dist_mem = seg_sum_all(dist_blk, seg_c)
         new_cost = bits_mem.astype(jnp.float32) + rd_lambda * dist_mem

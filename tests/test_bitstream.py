@@ -26,8 +26,10 @@ def test_roundtrip_exact(rng, num_levels):
     cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
     blob = serialize(img, cfg, seed=0, num_levels=num_levels)
     dec, info = deserialize(blob)
+    # v4 means the coalesced runs paid for their join-code plane and are in
+    # the stream; otherwise the stream matches the uncoalesced encode
     ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels,
-                              coalesce=True, fused=False)
+                              coalesce=blob[4] == 4, fused=False)
     assert np.array_equal(dec, ref["decoded"])
     assert info["levels"] == num_levels
     assert info["real_bpp"] < 32  # always beats raw RGBA
@@ -43,7 +45,7 @@ def test_roundtrip_rgba(rng):
     dec, info = deserialize(blob)
     assert info["has_alpha"]
     ref = encode_image_merged(img, cfg, seed=0, num_levels=2,
-                              coalesce=True, fused=False)
+                              coalesce=blob[4] == 4, fused=False)
     assert np.array_equal(dec, ref["decoded"])
 
 
