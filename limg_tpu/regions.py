@@ -874,14 +874,20 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         n_runs=n_runs,
     )
     if emit_planes:
-        out["owner_px"] = layout.broadcast_block_plane(owner0, grid0, BLOCK_SIZE)
+        # all per-block byte planes broadcast in ONE u8 pass (separate i32
+        # broadcasts cost ~4x the bytes and 5x the relayouts)
+        rows8 = jnp.concatenate([
+            jnp.minimum(shifts_blk, 8), bpp_blk[None], owner0[None]
+        ], axis=0).astype(jnp.uint8)                      # (5, NB)
+        planes8 = layout.broadcast_block_plane(rows8, grid0, BLOCK_SIZE)
+        out["shift"] = planes8[:3]
+        out["bpp"] = planes8[3]
+        out["owner_px"] = planes8[4]
         q = jnp.stack([(q_blk >> (8 * k)) & 0xFF for k in range(3)])
         f_shifted = (q << jnp.minimum(shifts_blk, 8)[:, None, :]) & 0xFF
         out["factors"] = layout.unblockify(
             f_shifted.astype(jnp.uint8), grid0, BLOCK_SIZE
         )
-        out["shift"] = layout.broadcast_block_plane(shifts_blk, grid0, BLOCK_SIZE)
-        out["bpp"] = layout.broadcast_block_plane(bpp_blk, grid0, BLOCK_SIZE)
         rid_m = jnp.asarray(np.maximum(perm, 0)).astype(jnp.int32)
         for lvl in range(1, num_levels):
             s = 4 ** lvl

@@ -106,3 +106,28 @@ def test_fused_four_levels(rng):
     assert out["alive_counts"].shape == (4,)
     assert out["psnr"] > 50
     assert (out["owner_px"] == 3).all()  # fully flat -> all top-level owned
+
+
+@pytest.mark.parametrize("levels", [2, 3, 4])
+def test_morton_perm_random_grids(levels):
+    """Randomized invariants: permutation covers the grid, and every aligned
+    4^l-lane group maps to one aligned 2^l-block square."""
+    rng2 = np.random.default_rng(levels)
+    for _ in range(5):
+        by, bx = int(rng2.integers(1, 40)), int(rng2.integers(1, 40))
+        perm, byp, bxp = morton_perm(by, bx, levels)
+        g = 1 << (levels - 1)
+        assert byp % g == 0 and bxp % g == 0 and perm.size == byp * bxp
+        real = perm[perm >= 0]
+        assert sorted(real.tolist()) == list(range(by * bx))
+        for lvl in range(1, levels):
+            s = 4 ** lvl
+            side = 1 << lvl
+            for j in rng2.integers(0, perm.size // s, size=8):
+                grp = perm[s * j:s * (j + 1)]
+                grp = grp[grp >= 0]
+                if grp.size == 0:
+                    continue
+                ys, xs = grp // bx, grp % bx
+                assert np.unique(ys // side).size == 1
+                assert np.unique(xs // side).size == 1
