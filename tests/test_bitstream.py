@@ -118,3 +118,13 @@ def test_v4_runs_roundtrip_and_smaller():
                               coalesce=True, fused=False)
     assert np.array_equal(dec, ref["decoded"])
     assert len(b_run) < len(b_no)
+
+
+def test_truncated_streams_raise():
+    """Corrupt/truncated blobs must raise, never silently decode garbage."""
+    img = make_test_image(np.random.default_rng(5), 48, 64)
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    blob = serialize(img, cfg, seed=0, num_levels=2)
+    for cut in (9, len(blob) // 3, len(blob) - 3):
+        with pytest.raises(Exception):
+            deserialize(blob[:cut])
