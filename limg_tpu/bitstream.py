@@ -49,6 +49,7 @@ bits-per-pixel can now be compared against the reference's estimate
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -110,26 +111,24 @@ def _owned_masks_from_owner(owner0: np.ndarray, grids, num_levels):
     ]
 
 
-def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
-              use_pallas: bool = False, merge_policy: str = "match",
-              rd_lambda: float = 0.01, entropy: bool = True,
-              coalesce: bool = True) -> bytes:
-    """Encode an (H, W, 4) uint8 image into an LTP1 blob.
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "use_pallas", "merge_policy",
+                     "rd_lambda", "coalesce"),
+)
+def _serialize_device(image, key, cfg: EncodeConfig, num_levels: int,
+                      use_pallas: bool, merge_policy: str, rd_lambda: float,
+                      coalesce: bool):
+    """Everything device-side of serialize in ONE jitted program.
 
-    ``entropy=True`` writes delta + rANS coded factor planes (smaller real
-    files); ``entropy=False`` writes raw fixed-width factor bits.
-    ``coalesce=True`` runs the band/rectangle pass at level 0 and, when any
-    run is kept, writes v4 with a 2-bit join-code plane so ragged regions
-    share one header (the serialized analog of the reference's
-    arbitrary-rectangle growth)."""
+    Running the encode eagerly dispatched ~14k primitives one by one; on the
+    tunneled TPU each dispatch is a network round trip (~8 min for a 1080p
+    serialize). Returns (levels, owner0, run arrays)."""
     from .regions import (
         coalesce_level_bands, encode_levels, merge_levels_alive, rd_merge_keep,
     )
 
-    image = jnp.asarray(image)
-    h, w = int(image.shape[0]), int(image.shape[1])
     ch = cfg.channels
-    key = jax.random.PRNGKey(seed)
     grids, levels = encode_levels(image, cfg, key, num_levels, use_pallas)
     if num_levels > 1 and merge_policy == "rd":
         # optimize the *real* stream cost: swap the estimate's header for
@@ -146,30 +145,63 @@ def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
     # owner level per level-0 block (highest kept ancestor wins)
     by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
     yy, xx = np.mgrid[0:by0, 0:bx0]
-    owner0 = np.zeros(by0 * bx0, np.uint8)
+    owner0 = jnp.zeros(by0 * bx0, jnp.int32)
     for lvl in range(1, num_levels):
         anc = (yy >> lvl) * grids[lvl].blocks_x + (xx >> lvl)
-        owner0 = np.where(np.asarray(alive[lvl])[anc.reshape(-1)], lvl, owner0)
-    owned = _owned_masks_from_owner(owner0, grids, num_levels)
+        owner0 = jnp.where(alive[lvl][jnp.asarray(anc.reshape(-1))], lvl, owner0)
 
     nb0 = grids[0].num_blocks
-    run_seg = None
+    run_region_id = jnp.arange(nb0, dtype=jnp.int32)
+    run_applied = jnp.zeros((nb0,), bool)
+    n_runs = jnp.zeros((), jnp.int32)
+    lv0_run = levels[0]
     if coalesce:
         ckey = jax.random.fold_in(key, 0x0C0A1E5C)
         # rd optimizes the REAL serialized header (matching rd_merge_keep
         # above); the match policy keeps the reference's estimate so streams
         # stay bit-matched to the in-memory merged encode
         hdr = region_header_bits(ch) if merge_policy == "rd" else None
-        lv0_new, run_applied, run_region_id, n_runs = coalesce_level_bands(
-            image, levels[0], grids[0], jnp.asarray(owned[0]), cfg, ckey,
+        owned0 = owner0 == 0
+        lv0_run, run_applied, run_region_id, n_runs = coalesce_level_bands(
+            image, levels[0], grids[0], owned0, cfg, ckey,
             BLOCK_SIZE, merge_policy, rd_lambda, header_bits=hdr,
         )
+    return levels, lv0_run, owner0, run_region_id, run_applied, n_runs
+
+
+def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
+              use_pallas: bool = False, merge_policy: str = "match",
+              rd_lambda: float = 0.01, entropy: bool = True,
+              coalesce: bool = True) -> bytes:
+    """Encode an (H, W, 4) uint8 image into an LTP1 blob.
+
+    ``entropy=True`` writes delta + rANS coded factor planes (smaller real
+    files); ``entropy=False`` writes raw fixed-width factor bits.
+    ``coalesce=True`` runs the band/rectangle pass at level 0 and, when any
+    run is kept, writes v4 with a 2-bit join-code plane so ragged regions
+    share one header (the serialized analog of the reference's
+    arbitrary-rectangle growth)."""
+    image = jnp.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    ch = cfg.channels
+    key = jax.random.PRNGKey(seed)
+    grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
+    levels, lv0_run, owner0_j, run_region_id, run_applied, n_runs = (
+        _serialize_device(image, key, cfg, num_levels, use_pallas,
+                          merge_policy, rd_lambda, coalesce)
+    )
+    owner0 = np.asarray(owner0_j).astype(np.uint8)
+    owned = _owned_masks_from_owner(owner0, grids, num_levels)
+
+    nb0 = grids[0].num_blocks
+    run_seg = None
+    if coalesce:
         # v4 pays a 2-bit-per-block join-code plane; only choose it when the
         # headers the runs share actually save more than that
         n_segments = int(np.asarray(n_runs))
         n_joined = int(np.asarray(run_applied).sum()) - n_segments
         if n_segments > 0 and n_joined * region_header_bits(ch) > 2 * nb0:
-            levels[0] = lv0_new
+            levels = [lv0_run] + list(levels[1:])
             run_seg = np.asarray(run_region_id)
             run_app = np.asarray(run_applied)
 
@@ -361,31 +393,54 @@ def deserialize(blob: bytes):
             groups = np.split(order, bounds)
         else:
             groups = [np.array([r]) for r in own_idx]
-        for members in groups:
-            (sword,) = struct.unpack_from("<H", blob, off)
-            off += 2
-            s = [sword & 0xF, (sword >> 4) & 0xF, (sword >> 8) & 0xF]
-            shifts[:, members] = np.asarray(s)[:, None]
-            ep_bytes = -(-6 * ch * _EP_BITS // 8)
-            ep_vals = _unpack_bits(
-                np.frombuffer(blob, np.uint8, ep_bytes, off), 6 * ch, _EP_BITS
-            ).astype(np.int32) - _EP_BIAS
-            off += ep_bytes
-            for j, e in enumerate(eps):
-                e[:, members] = ep_vals[j * ch:(j + 1) * ch, None]
-            n = int(counts[members].sum())
-            if entropy:
-                pending.append((lvl, members, n, s))
-                continue
-            for k in range(3):
-                width = 8 - s[k]
-                if width > 0:
-                    nbytes = -(-n * width // 8)
-                    vals = _unpack_bits(
-                        np.frombuffer(blob, np.uint8, nbytes, off), n, width
-                    )
-                    off += nbytes
-                    _scatter_members(q[k], mask_np, members, vals)
+        ep_bytes = -(-6 * ch * _EP_BITS // 8)
+        if entropy and groups:
+            # v3/v4 defer factor bits to the per-axis sections, so the
+            # region headers are CONTIGUOUS fixed-size records: bulk-parse
+            # them instead of ~1.5 ms of numpy-call overhead per region
+            rec = 2 + ep_bytes
+            ng = len(groups)
+            raw = np.frombuffer(blob, np.uint8, rec * ng, off).reshape(ng, rec)
+            off += rec * ng
+            swords = raw[:, 0].astype(np.uint32) | (raw[:, 1].astype(np.uint32) << 8)
+            s_all = np.stack(
+                [swords & 0xF, (swords >> 4) & 0xF, (swords >> 8) & 0xF]
+            ).astype(np.int32)                                   # (3, ng)
+            bits = np.unpackbits(raw[:, 2:], axis=1, bitorder="little")
+            bits = bits[:, :6 * ch * _EP_BITS].reshape(ng, 6 * ch, _EP_BITS)
+            ep_all = (
+                (bits.astype(np.int32) << np.arange(_EP_BITS)).sum(axis=2)
+                - _EP_BIAS
+            )                                                    # (ng, 6*ch)
+            for gi, members in enumerate(groups):
+                shifts[:, members] = s_all[:, gi:gi + 1]
+                for j, e in enumerate(eps):
+                    e[:, members] = ep_all[gi, j * ch:(j + 1) * ch, None]
+                pending.append(
+                    (lvl, members, int(counts[members].sum()), s_all[:, gi])
+                )
+        else:
+            for members in groups:
+                (sword,) = struct.unpack_from("<H", blob, off)
+                off += 2
+                s = [sword & 0xF, (sword >> 4) & 0xF, (sword >> 8) & 0xF]
+                shifts[:, members] = np.asarray(s)[:, None]
+                ep_vals = _unpack_bits(
+                    np.frombuffer(blob, np.uint8, ep_bytes, off), 6 * ch, _EP_BITS
+                ).astype(np.int32) - _EP_BIAS
+                off += ep_bytes
+                for j, e in enumerate(eps):
+                    e[:, members] = ep_vals[j * ch:(j + 1) * ch, None]
+                n = int(counts[members].sum())
+                for k in range(3):
+                    width = 8 - s[k]
+                    if width > 0:
+                        nbytes = -(-n * width // 8)
+                        vals = _unpack_bits(
+                            np.frombuffer(blob, np.uint8, nbytes, off), n, width
+                        )
+                        off += nbytes
+                        _scatter_members(q[k], mask_np, members, vals)
         level_arrays.append((shifts, q, eps, mask_np))
 
     if entropy:
@@ -406,17 +461,46 @@ def deserialize(blob: bytes):
                     if n_syms else np.zeros(0, np.uint8)
                 )
                 off += n_bytes
-                pos = 0
-                for lvl, members, n, s in pending:
-                    width = 8 - s[k]
-                    if width <= 0:
-                        continue
-                    _, q_l, _, mask_np = level_arrays[lvl]
-                    vals = _undelta_mod(syms[pos:pos + n], width)
-                    pos += n
-                    _scatter_members(q_l[k], mask_np, members, vals)
-                if pos != n_syms:
+                live = [(lvl, members, n, 8 - s[k]) for lvl, members, n, s
+                        in pending if 8 - s[k] > 0]
+                lens = np.array([n for _, _, n, _ in live], np.int64)
+                if lens.sum() != n_syms:
                     raise ValueError("corrupt LTP1 stream: symbol count mismatch")
+                if live:
+                    # vectorized segmented undelta over the WHOLE stream:
+                    # within a segment, undelta[i] = (C[i] - C[start-1]) mod
+                    # 2^w (mod commutes with the subtraction); the per-region
+                    # python loop was ~100k numpy calls on a 1080p image
+                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    widths = np.array([w for *_, w in live], np.int64)
+                    c = np.cumsum(syms.astype(np.int64))
+                    seg_base = np.repeat(
+                        c[starts] - syms[starts].astype(np.int64), lens
+                    )
+                    u = ((c - seg_base) & np.repeat((1 << widths) - 1, lens)
+                         ).astype(np.uint8)
+                    # bulk-scatter full singleton blocks (the mass); loop the
+                    # rest (runs, edge-partial regions)
+                    by_level_full = {}
+                    pos = 0
+                    for ei, (lvl, members, n, _) in enumerate(live):
+                        q_l = level_arrays[lvl][1]
+                        p_l = q_l.shape[1]
+                        if len(members) == 1 and n == p_l:
+                            by_level_full.setdefault(lvl, ([], []))
+                            by_level_full[lvl][0].append(int(members[0]))
+                            by_level_full[lvl][1].append(pos)
+                        else:
+                            mask_np = level_arrays[lvl][3]
+                            _scatter_members(q_l[k], mask_np, members,
+                                             u[pos:pos + n])
+                        pos += n
+                    for lvl, (cols, offs) in by_level_full.items():
+                        q_l = level_arrays[lvl][1]
+                        p_l = q_l.shape[1]
+                        gather = (np.asarray(offs)[:, None]
+                                  + np.arange(p_l)[None, :])
+                        q_l[k][:, np.asarray(cols)] = u[gather].T
             else:
                 (n_bytes,) = struct.unpack_from("<I", blob, off)
                 off += 4
