@@ -1,14 +1,17 @@
 """ctypes bindings for the native host runtime (runtime/limg_runtime.cpp).
 
-Build with tools/build_runtime.sh (g++ -O2 -shared). Every entry point has a
-pure-Python/NumPy fallback so the package works without the shared library;
-``available()`` reports which path is active.
+The shared library is built automatically on first use when a compiler and
+the source tree are present (the same g++ invocation as
+tools/build_runtime.sh); `pip install -e .` also builds it via setup.py.
+Every entry point has a pure-Python/NumPy fallback so the package works
+without the shared library; ``available()`` reports which path is active.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
@@ -16,14 +19,46 @@ _LIB = None
 _TRIED = False
 
 
+def _find_or_build_lib() -> str | None:
+    """Locate liblimg_runtime.so, compiling it on demand from a source tree.
+
+    Search order: packaged next to this module (wheel installs), then the
+    repo's build/ dir; if absent or older than runtime/limg_runtime.cpp and
+    the source + g++ exist, (re)build into build/. Returns a path or None.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    packaged = os.path.join(pkg_dir, "liblimg_runtime.so")
+    built = os.path.join(repo, "build", "liblimg_runtime.so")
+    src = os.path.join(repo, "runtime", "limg_runtime.cpp")
+    if os.path.exists(src):
+        stale = (not os.path.exists(built)
+                 or os.path.getmtime(built) < os.path.getmtime(src))
+        if stale:
+            try:
+                os.makedirs(os.path.dirname(built), exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-march=native", src, "-o", built, "-lpthread"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                pass  # fall through to whatever exists
+        if os.path.exists(built):
+            return built
+    for path in (packaged, built):
+        if os.path.exists(path):
+            return path
+    return None
+
+
 def _lib():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "build", "liblimg_runtime.so")
-    if not os.path.exists(path):
+    path = _find_or_build_lib()
+    if path is None:
         return None
     lib = ctypes.CDLL(path)
     lib.limg_rt_blockify_u32.argtypes = [

@@ -50,10 +50,15 @@ def time_device_fn(fn, *args, iters: int = 20, inner: int = 5):
         batch_times.append(time.perf_counter() - t0)
     batch = float(np.median(batch_times))
     per_call = max(batch - rtt, 1e-9) / inner
-    best = max(float(np.min(batch_times)) - rtt, 1e-9) / inner
+    # per-call samples (one per batch) for the reference-style mean/min/max/
+    # stddev report (src/main.cpp:310-323); stddev needs >= 2 samples
+    samples = np.maximum(np.asarray(batch_times) - rtt, 1e-9) / inner
+    best = float(samples.min())
     return per_call, {
         "batch_s": batch,
         "rtt_s": rtt,
         "best_s": best,
+        "worst_s": float(samples.max()),
+        "std_s": float(samples.std(ddof=1)) if samples.size > 1 else 0.0,
         "batches": [round(b, 5) for b in batch_times],
     }
