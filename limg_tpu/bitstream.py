@@ -3,82 +3,89 @@
 The reference is a research harness with NO bitstream at all -- its
 "Compression Average" is an estimate (src/limg.cpp:1629-1636), and a dead
 append-blob prototype at src/limg_internal.h:96-144 shows a format was
-planned but never built. This module completes that capability:
+planned but never built. This module completes that capability.
 
-Format "LTP1" v2/v3/v4 (little-endian):
+Format "LTP1" v5 (little-endian). Everything is expressed at level-0 (8x8)
+block granularity: a merged level-L region or a coalesced run/rectangle is a
+SEGMENT of level-0 member blocks sharing one header, which matches the fused
+Morton encoder's native layout (pallas_kernels/encode_merged.py) so the
+serializer consumes the state of the encode that actually ran -- no
+re-encode, no layout permutation.
+
   magic    4s   b"LTP1"
-  version  u8   2 (raw factor bits), 3 (rANS-entropy-coded factors), or
-                4 (v3 + coalesced run/rectangle regions at level 0)
-  flags    u8   bit0 = has_alpha; bit1 (v4) = entropy-coded factors
+  version  u8   5
+  flags    u8   bit0 = has_alpha; bit1 = entropy coding was considered
   width    u32
   height   u32
   levels   u8   quadtree levels (1 = fixed grid)
   efactor  u16  error_factor (decoder doesn't need it; kept for tooling)
-  owner    ceil(NB0/4) bytes: 2-bit owner level per 8x8 block, row-major
-  codes    v4 only, ceil(NB0/4) bytes: 2-bit join code per 8x8 block
-           (0 = region start / uncoalesced, 1 = join left neighbor's
-           region, 2 = join upper neighbor's region); resolving the joins
-           reconstructs the run/rectangle segmentation
-           (regions.build_runs geometry)
-  per level L in 0..levels-1, for each region owned at L (row-major; in
-  v4, level-0 regions are SEGMENTS: one header per segment leader, factor
-  pixels concatenated over member blocks in ascending flat order):
-    shifts   u16: sA | sB<<4 | sC<<8  (0..8 each)
-    endpoints 6*ch x 12-bit signed (value+2048), bit-packed LSB-first:
-              dirA_min/max, dirB_off/mag, dirC_off/mag per channel
-    factors  v2 only, bit-packed: for each axis with s<8, count*(8-s) bits
-             of the crushed factors in row-major region pixel order
-  v3 only, after all regions -- per axis k in 0..2:
-    mode     u8   1 = rANS, 0 = raw fixed-width packing (chosen per axis by
-                  whichever is smaller, so v3 never loses to v2 by more
-                  than 3 bytes total)
-    mode 1:  n_syms u32, n_bytes u32, n_freq u16,
-             n_freq x u16 quantized frequencies (sum = 4096; symbols >=
-             n_freq never occur), rANS stream (native/limg_rt_rans_* codec,
-             runtime/limg_runtime.cpp)
-    mode 0:  n_bytes u32, per-region _pack_bits(width = 8-s) concatenation
-  v3 factor symbols are *deltas* along each region's pixel stream, modulo
-  2^(8-s): smooth content concentrates them near 0, which the order-0 rANS
-  then codes in far fewer bits than the raw fixed-width packing.
+  owner    ceil(NB0/4) bytes: 2-bit owner level per 8x8 block, row-major.
+           Blocks owned at level L>0 belong to the aligned 2^L-square whose
+           top-left block is their segment leader.
+  n_runs   u32, then n_runs x { leader u32, rect_w u16, rect_h u16 }:
+           the coalesced level-0 run/rectangle segments (regions.build_runs
+           geometry -- every accepted run is an axis-aligned rectangle of
+           owner-level-0 blocks; leader = top-left = smallest flat index).
+  n_seg    u32  total segment count (validation)
+  headers  n_seg records of (2 + 6*ch*12/8) bytes, one per segment in
+           (owner level, leader flat index) ascending order:
+             shifts   u16: sA | sB<<4 | sC<<8  (0..8 each)
+             endpoints 6*ch x 12-bit signed (value+2048), bit-packed
+                       LSB-first: dirA_min/max, dirB_off/mag, dirC_off/mag
+  per axis k in 0..2 (factor symbols of every segment with shift_k < 8):
+    mode   u8   1 = per-segment delta transform + order-0 rANS, symbols in
+                segment order (members ascending, pixels row-major);
+                0 = raw fixed-width packing GROUPED BY WIDTH: for each
+                width v in 1..8 ascending, the values of all blocks whose
+                axis width is v (in segment order), _pack_bits(v) each
+                group byte-aligned. Chosen per axis by size; the reader
+                knows every width from the headers.
+    mode 1: n_syms u32, n_bytes u32, n_freq u16, n_freq x u16 quantized
+            frequencies (sum 4096), rANS stream (native/limg_rt_rans_*)
+    mode 0: n_bytes u32, packed width groups
 
-Decoding reverses the packing and runs the standard integer reconstruction
-(ops/decode.py), so encode->serialize->parse->decode is exact. Real file
-bits-per-pixel can now be compared against the reference's estimate
-(the reference has NO bitstream; src/limg.cpp:1629-1636 is an estimate).
+Deltas are along each segment's pixel stream modulo 2^(8-s): smooth content
+concentrates them near 0 for the order-0 rANS. Decoding reverses the packing
+and runs the standard integer reconstruction once at level-0 granularity
+(ops/decode.py) with each segment's endpoints/shifts broadcast to its member
+blocks -- bit-identical to the in-memory encode's decode, so
+encode -> serialize -> parse -> decode is exact. Real file bits-per-pixel can
+be compared against the reference's estimate (src/limg.cpp:1629-1636).
 """
 
 from __future__ import annotations
 
-import functools
 import struct
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from .config import BLOCK_SIZE, EncodeConfig
 from .ops import layout
-from .ops.fit import Decomposition
-from .ops.decode import decode_blocks
 
 _MAGIC = b"LTP1"
-_VERSION = 2
-_VERSION_ENTROPY = 3
-_VERSION_RUNS = 4
+_VERSION = 5
 _EP_BITS = 12          # signed endpoint field width (value + 2048)
 _EP_BIAS = 2048
+_HDR_FMT = "<4sBBIIBH"
 
 
 def region_header_bits(channels: int) -> int:
-    """Real serialized per-region header cost (shift word + endpoints)."""
+    """Real serialized per-region header cost (shift word + endpoints).
+
+    v5 header records are byte-aligned at exactly this size
+    (6*ch*12 is divisible by 8 for ch in {3, 4})."""
     return 16 + 6 * channels * _EP_BITS
 
 
 def _pack_bits(values: np.ndarray, width: int) -> np.ndarray:
-    """values (N,) uints -> bit-packed bytes, LSB-first within each value."""
+    """values (N,) uints -> bit-packed bytes, LSB-first within each value.
+
+    Stays in uint8 when the width allows: the uint32 intermediates cost 4x
+    the memory traffic on multi-megapixel factor planes."""
     if width == 0 or values.size == 0:
         return np.zeros(0, np.uint8)
-    bits = (values[:, None].astype(np.uint32) >> np.arange(width)) & 1
+    dt = np.uint8 if width <= 8 else np.uint32
+    bits = (values.astype(dt)[:, None] >> np.arange(width, dtype=dt)) & dt(1)
     return np.packbits(bits.astype(np.uint8).ravel(), bitorder="little")
 
 
@@ -91,462 +98,376 @@ def _unpack_bits(data: np.ndarray, count: int, width: int) -> np.ndarray:
     return vals.astype(np.uint32)
 
 
-def _region_pixel_counts(grid, bsz, h, w):
-    """(NB,) real-pixel count per region (edge regions are smaller)."""
-    ys = np.minimum((np.arange(grid.blocks_y) + 1) * bsz, h) - np.arange(grid.blocks_y) * bsz
-    xs = np.minimum((np.arange(grid.blocks_x) + 1) * bsz, w) - np.arange(grid.blocks_x) * bsz
-    return (ys[:, None] * xs[None, :]).reshape(-1)
+def _decode_blocks_np(q, shifts, eps, ch: int):
+    """Pure-NumPy batched integer decode (ops/decode.py semantics).
+
+    ``q``: (3, NB, P) int32 crushed factors (block-major: contiguous for the
+    host layout); ``shifts``: (3, NB); ``eps``: (6ch, NB). Runs on host:
+    shipping the factor planes to a tunneled TPU for ~20 integer vector ops
+    costs far more in transfer than the arithmetic (measured 64 s -> ~1 s
+    for a 4K deserialize)."""
+    _mult = np.array([1, 2, 4, 8, 17, 36, 85, 255, 0], np.int32)
+    s_eff = np.minimum(shifts, 8)
+    e = [eps[j * ch:(j + 1) * ch] for j in range(6)]
+    normals = np.stack([e[1] - e[0], e[3] - e[2], e[5] - e[4]])  # (3, ch, NB)
+    mins = np.stack([e[0], e[2], e[4]])
+    dropped = (shifts > 7)[:, None, :]
+    normals = np.where(dropped, 0, normals)
+    mins[1:] = np.where(dropped[1:], 0, mins[1:])
+    out = np.zeros((ch, *q.shape[1:]), np.int32)                 # (ch, NB, P)
+    for k in range(3):
+        f_dec = q[k] * _mult[s_eff[k]][:, None]                  # (NB, P)
+        for c in range(ch):
+            out[c] += mins[k, c][:, None] + (
+                (f_dec * normals[k, c][:, None] + 128) >> 8
+            )
+    return np.clip(out, 0, 255).astype(np.uint8)                 # (ch, NB, P)
 
 
-def _owned_masks_from_owner(owner0: np.ndarray, grids, num_levels):
-    """Per level: bool (NB_L,) -- region is final/owned at that level.
-
-    Derived from the per-block owner map (works for both the nested match
-    policy and the non-nested RD cut)."""
-    by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
-    owner_grid = owner0.reshape(by0, bx0)
-    return [
-        (owner_grid[:: 1 << lvl, :: 1 << lvl] == lvl).reshape(-1)
-        for lvl in range(num_levels)
-    ]
+def _block_mask(h: int, w: int) -> np.ndarray:
+    """(NB0, 64) bool pixel-validity per 8x8 block (blockify pixel order)."""
+    by, bx = -(-h // BLOCK_SIZE), -(-w // BLOCK_SIZE)
+    vy = (np.arange(by * 8) < h).reshape(by, 8)
+    vx = (np.arange(bx * 8) < w).reshape(bx, 8)
+    m = vy[:, None, :, None] & vx[None, :, None, :]      # (by, bx, 8, 8)
+    return m.reshape(by * bx, 64)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "num_levels", "use_pallas", "merge_policy",
-                     "rd_lambda", "coalesce"),
-)
-def _serialize_device(image, key, cfg: EncodeConfig, num_levels: int,
-                      use_pallas: bool, merge_policy: str, rd_lambda: float,
-                      coalesce: bool):
-    """Everything device-side of serialize in ONE jitted program.
-
-    Running the encode eagerly dispatched ~14k primitives one by one; on the
-    tunneled TPU each dispatch is a network round trip (~8 min for a 1080p
-    serialize). Returns (levels, owner0, run arrays)."""
-    from .regions import (
-        coalesce_level_bands, encode_levels, merge_levels_alive, rd_merge_keep,
-    )
-
-    ch = cfg.channels
-    grids, levels = encode_levels(image, cfg, key, num_levels, use_pallas)
-    if num_levels > 1 and merge_policy == "rd":
-        # optimize the *real* stream cost: swap the estimate's header for
-        # the serialized one
-        from .config import static_block_bits
-        extra = region_header_bits(ch) - static_block_bits(ch)
-        alive, _ = rd_merge_keep(levels, grids, num_levels, rd_lambda, extra)
-    elif num_levels > 1:
-        alive, _ = merge_levels_alive(
-            [lv["decomp"] for lv in levels], grids, ch
-        )
-    else:
-        alive = [jnp.ones((grids[0].num_blocks,), bool)]
-    # owner level per level-0 block (highest kept ancestor wins)
-    by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
-    yy, xx = np.mgrid[0:by0, 0:bx0]
-    owner0 = jnp.zeros(by0 * bx0, jnp.int32)
+def _lead_levels(owner0: np.ndarray, by: int, bx: int, num_levels: int) -> np.ndarray:
+    """Per-block segment leader from the owner map (runs not yet applied):
+    self for level 0, the aligned square's top-left block for level L."""
+    yy, xx = np.mgrid[0:by, 0:bx]
+    lead = (yy * bx + xx).reshape(-1).astype(np.int64)
     for lvl in range(1, num_levels):
-        anc = (yy >> lvl) * grids[lvl].blocks_x + (xx >> lvl)
-        owner0 = jnp.where(alive[lvl][jnp.asarray(anc.reshape(-1))], lvl, owner0)
-
-    nb0 = grids[0].num_blocks
-    run_region_id = jnp.arange(nb0, dtype=jnp.int32)
-    run_applied = jnp.zeros((nb0,), bool)
-    n_runs = jnp.zeros((), jnp.int32)
-    lv0_run = levels[0]
-    if coalesce:
-        ckey = jax.random.fold_in(key, 0x0C0A1E5C)
-        # rd optimizes the REAL serialized header (matching rd_merge_keep
-        # above); the match policy keeps the reference's estimate so streams
-        # stay bit-matched to the in-memory merged encode
-        hdr = region_header_bits(ch) if merge_policy == "rd" else None
-        owned0 = owner0 == 0
-        lv0_run, run_applied, run_region_id, n_runs = coalesce_level_bands(
-            image, levels[0], grids[0], owned0, cfg, ckey,
-            BLOCK_SIZE, merge_policy, rd_lambda, header_bits=hdr,
-        )
-    return levels, lv0_run, owner0, run_region_id, run_applied, n_runs
+        sel = owner0 == lvl
+        lead_l = ((((yy >> lvl) << lvl) * bx)
+                  + ((xx >> lvl) << lvl)).reshape(-1)
+        lead[sel] = lead_l[sel]
+    return lead
 
 
-def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
-              use_pallas: bool = False, merge_policy: str = "match",
-              rd_lambda: float = 0.01, entropy: bool = True,
-              coalesce: bool = True) -> bytes:
-    """Encode an (H, W, 4) uint8 image into an LTP1 blob.
+def _delta_seg(vals, seg, widths):
+    """Per-segment delta transform modulo 2^width (first value kept raw;
+    it is < 2^width already). int16 arithmetic: the int64 version's
+    temporaries dominated a 4K serialize."""
+    d = vals.astype(np.int16)
+    prev = np.empty_like(d)
+    prev[0] = 0
+    prev[1:] = d[:-1]
+    start = np.empty(d.size, bool)
+    start[0] = True
+    start[1:] = seg[1:] != seg[:-1]
+    mask = (np.int16(1) << widths.astype(np.int16)) - np.int16(1)
+    return (np.where(start, d, d - prev) & mask).astype(np.uint8)
 
-    ``entropy=True`` writes delta + rANS coded factor planes (smaller real
-    files); ``entropy=False`` writes raw fixed-width factor bits.
-    ``coalesce=True`` runs the band/rectangle pass at level 0 and, when any
-    run is kept, writes v4 with a 2-bit join-code plane so ragged regions
-    share one header (the serialized analog of the reference's
-    arbitrary-rectangle growth)."""
-    image = jnp.asarray(image)
-    h, w = int(image.shape[0]), int(image.shape[1])
-    ch = cfg.channels
-    key = jax.random.PRNGKey(seed)
-    grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
-    levels, lv0_run, owner0_j, run_region_id, run_applied, n_runs = (
-        _serialize_device(image, key, cfg, num_levels, use_pallas,
-                          merge_policy, rd_lambda, coalesce)
+
+def _undelta_seg(syms, seg, widths):
+    """Inverse of _delta_seg, vectorized over the whole stream: within a
+    segment, value[i] = (C[i] - C[start-1]) mod 2^w (mod commutes with the
+    subtraction)."""
+    c = np.cumsum(syms.astype(np.int64))
+    start = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+    lens = np.diff(np.r_[start, syms.size])
+    seg_base = np.repeat(c[start] - syms[start].astype(np.int64), lens)
+    return ((c - seg_base) & ((np.int64(1) << widths) - 1)).astype(np.uint8)
+
+
+def _segments_of(owner0, lead, nb):
+    """Canonical segment enumeration: unique (level, leader) ascending.
+
+    Returns (keys (nseg,), inv (NB,) segment rank per block,
+    order (NB,) member columns sorted by (rank, flat index))."""
+    key = owner0.astype(np.int64) * nb + lead
+    uk, inv = np.unique(key, return_inverse=True)
+    order = np.lexsort((np.arange(nb), key))
+    return uk, inv, order
+
+
+def serialize_from_state(state, cfg: EncodeConfig, entropy: bool = True) -> bytes:
+    """Pack the serializer state of an already-run merged encode
+    (regions.encode_image_merged(..., return_state=True)) into an LTP1 v5
+    blob. Host-side only -- no re-encode, no device work beyond fetching the
+    state arrays."""
+    from . import native
+
+    rows = np.asarray(state["rows"])
+    q_packed = np.asarray(state["q"])
+    h, w = state["height"], state["width"]
+    num_levels, ch = state["num_levels"], state["channels"]
+    by, bx = -(-h // BLOCK_SIZE), -(-w // BLOCK_SIZE)
+    nb = by * bx
+    owner0 = rows[0].astype(np.int64)
+    s_blk = np.minimum(rows[1:4], 8).astype(np.int64)            # (3, NB)
+    eps_blk = rows[4:4 + 6 * ch].astype(np.int64)                # (6ch, NB)
+    run_seg = rows[4 + 6 * ch].astype(np.int64)
+    run_applied = rows[5 + 6 * ch].astype(bool)
+
+    # -- coalesced runs -> explicit rectangles ------------------------------
+    midx = np.nonzero(run_applied)[0]
+    if midx.size:
+        o = np.argsort(run_seg[midx], kind="stable")
+        ml, mi = run_seg[midx][o], midx[o]
+        starts = np.flatnonzero(np.r_[True, ml[1:] != ml[:-1]])
+        run_lead = ml[starts]
+        ys, xs = mi // bx, mi % bx
+        y0 = np.minimum.reduceat(ys, starts)
+        y1 = np.maximum.reduceat(ys, starts)
+        x0 = np.minimum.reduceat(xs, starts)
+        x1 = np.maximum.reduceat(xs, starts)
+        rw, rh = x1 - x0 + 1, y1 - y0 + 1
+        counts = np.diff(np.r_[starts, mi.size])
+        if (not np.array_equal(run_lead, y0 * bx + x0)
+                or not np.array_equal(rw * rh, counts)):
+            raise RuntimeError("coalesced run is not a leader-anchored rectangle")
+    else:
+        run_lead = np.zeros(0, np.int64)
+        rw = rh = np.zeros(0, np.int64)
+
+    lead = _lead_levels(owner0, by, bx, num_levels)
+    lead[midx] = run_seg[midx]
+    keys, inv, order = _segments_of(owner0, lead, nb)
+    nseg = keys.size
+    leaders = (keys % nb).astype(np.int64)
+
+    # -- header records (contiguous fixed-size, bulk-built) -----------------
+    s_hdr = s_blk[:, leaders]                                    # (3, nseg)
+    ep_hdr = eps_blk[:, leaders].T                               # (nseg, 6ch)
+    swords = (s_hdr[0] | (s_hdr[1] << 4) | (s_hdr[2] << 8)).astype("<u2")
+    bits = ((ep_hdr + _EP_BIAS).astype(np.uint32)[:, :, None]
+            >> np.arange(_EP_BITS)) & 1
+    ep_bytes_arr = np.packbits(
+        bits.astype(np.uint8).reshape(nseg, -1), axis=1, bitorder="little"
     )
-    owner0 = np.asarray(owner0_j).astype(np.uint8)
-    owned = _owned_masks_from_owner(owner0, grids, num_levels)
-
-    nb0 = grids[0].num_blocks
-    run_seg = None
-    if coalesce:
-        # v4 pays a 2-bit-per-block join-code plane; only choose it when the
-        # headers the runs share actually save more than that
-        n_segments = int(np.asarray(n_runs))
-        n_joined = int(np.asarray(run_applied).sum()) - n_segments
-        if n_segments > 0 and n_joined * region_header_bits(ch) > 2 * nb0:
-            levels = [lv0_run] + list(levels[1:])
-            run_seg = np.asarray(run_region_id)
-            run_app = np.asarray(run_applied)
+    recs = np.concatenate(
+        [swords.view(np.uint8).reshape(nseg, 2), ep_bytes_arr], axis=1
+    )
 
     out = bytearray()
-    flags = int(cfg.has_alpha)
-    if run_seg is not None:
-        version = _VERSION_RUNS
-        flags |= int(entropy) << 1
-    else:
-        version = _VERSION_ENTROPY if entropy else _VERSION
-    out += struct.pack("<4sBBIIBH", _MAGIC, version, flags, w, h,
+    flags = int(cfg.has_alpha) | (int(entropy) << 1)
+    out += struct.pack(_HDR_FMT, _MAGIC, _VERSION, flags, w, h,
                        num_levels, cfg.error_factor & 0xFFFF)
-    out += _pack_bits(owner0.astype(np.uint8), 2).tobytes()
+    out += _pack_bits(owner0.astype(np.uint32), 2).tobytes()
+    out += struct.pack("<I", run_lead.size)
+    run_rec = np.zeros(run_lead.size, dtype=[("l", "<u4"), ("w", "<u2"), ("h", "<u2")])
+    run_rec["l"], run_rec["w"], run_rec["h"] = run_lead, rw, rh
+    out += run_rec.tobytes()
+    out += struct.pack("<I", nseg)
+    out += recs.tobytes()
 
-    if run_seg is not None:
-        # 2-bit join codes: every run member joins its left or upper
-        # neighbor (guaranteed by the run/rectangle geometry)
-        bx0 = grids[0].blocks_x
-        idx = np.arange(nb0)
-        member = run_app & (run_seg != idx)
-        codes = np.zeros(nb0, np.uint8)
-        left_same = np.zeros(nb0, bool)
-        left_same[1:] = member[1:] & (run_seg[1:] == run_seg[:-1]) & (idx[1:] % bx0 != 0)
-        up_same = np.zeros(nb0, bool)
-        up_same[bx0:] = member[bx0:] & (run_seg[bx0:] == run_seg[:-bx0])
-        codes[left_same] = 1
-        codes[up_same & ~left_same] = 2
-        if not (codes[member] != 0).all():
-            raise RuntimeError("run member with no joinable neighbor")
-        out += _pack_bits(codes, 2).tobytes()
-
-    axis_syms = [[], [], []]    # v3: per-axis delta symbol chunks
-    for lvl in range(num_levels):
-        lv = levels[lvl]
-        bsz = BLOCK_SIZE << lvl
-        counts = _region_pixel_counts(grids[lvl], bsz, h, w)
-        shifts = np.asarray(lv["shifts"])            # (3, NB)
-        q_packed = np.asarray(lv["q_packed"])        # (P, NB) 3 bytes/px
-        q = np.stack([(q_packed >> (8 * k)) & 0xFF for k in range(3)])
-        mask = np.asarray(lv["mask"])                # (P, NB)
-        d = lv["decomp"]
-        eps = [np.asarray(getattr(d, f)).astype(np.int16)
-               for f in ("dirA_min", "dirA_max", "dirB_offset", "dirB_mag",
-                         "dirC_offset", "dirC_mag")]
-        own_idx = np.nonzero(owned[lvl])[0]
-        if lvl == 0 and run_seg is not None:
-            order = own_idx[np.argsort(run_seg[own_idx], kind="stable")]
-            bounds = np.flatnonzero(np.diff(run_seg[order])) + 1
-            groups = np.split(order, bounds)        # members share a leader
-        else:
-            groups = [np.array([r]) for r in own_idx]
-        for members in groups:
-            r = int(members[0])                      # leader = smallest idx
-            s = np.minimum(shifts[:, r], 8)
-            out += struct.pack("<H", int(s[0]) | int(s[1]) << 4 | int(s[2]) << 8)
-            ep_vals = np.concatenate([e[:, r].astype(np.int32) for e in eps])
-            out += _pack_bits((ep_vals + _EP_BIAS).astype(np.uint32), _EP_BITS).tobytes()
-            for k in range(3):
-                width = 8 - int(s[k])
-                if width <= 0:
-                    continue
-                vals = np.concatenate(
-                    [q[k][mask[:, m], m] for m in members]
-                ).astype(np.uint8)
-                if entropy:
-                    axis_syms[k].append((_delta_mod(vals, width), width))
-                else:
-                    out += _pack_bits(vals, width).tobytes()
-
-    if entropy:
-        from . import native
-
-        for k in range(3):
-            chunks = axis_syms[k]
-            syms = (np.concatenate([c for c, _ in chunks]) if chunks
-                    else np.zeros(0, np.uint8))
-            raw_len = sum(-(-c.size * wd // 8) for c, wd in chunks)
+    # -- per-axis factor symbol sections ------------------------------------
+    maskb = _block_mask(h, w)                                    # (NB, 64)
+    pixcnt = maskb.sum(axis=1)
+    seg_cols = inv[order]
+    for k in range(3):
+        wk = (8 - s_hdr[k]).astype(np.int16)                     # (nseg,)
+        w_blk = wk[seg_cols]                  # width per ordered member col
+        selc = w_blk > 0
+        ck = order[selc]
+        wb = w_blk[selc]
+        qk = ((q_packed >> (8 * k)) & 0xFF).astype(np.uint8).T   # (NB, 64)
+        mm = maskb[ck]                                           # (n, 64)
+        vals = qk[ck][mm]
+        # per-VALUE width/segment via broadcast + the same boolean mask
+        # (np.repeat over per-element counts measured ~1.5 s per call on 4K)
+        n_sel = ck.size
+        wv = np.broadcast_to(wb[:, None], (n_sel, 64))[mm]
+        cnts = pixcnt[ck]
+        nv = np.bincount(wb, weights=cnts, minlength=9).astype(np.int64)
+        raw_bytes = int(sum(-(-nv[v] * v // 8) for v in range(1, 9)))
+        use_rans = False
+        if entropy and vals.size:
+            sk32 = seg_cols[selc].astype(np.int32)
+            sv = np.broadcast_to(sk32[:, None], (n_sel, 64))[mm]
+            syms = _delta_seg(vals, sv, wv)
             freqs = native.rans_quantize_freqs(np.bincount(syms, minlength=256))
-            stream = native.rans_encode(syms, freqs) if syms.size else b""
-            n_freq = int(np.max(np.nonzero(freqs)[0])) + 1 if freqs.any() else 1
-            rans_size = 8 + 2 + 2 * n_freq + len(stream)
-            if rans_size < 4 + raw_len:
-                out += struct.pack("<BIIH", 1, syms.size, len(stream), n_freq)
-                out += freqs[:n_freq].astype(np.uint16).tobytes()
-                out += stream
-            else:
-                # only materialize the multi-MB raw packing when it wins
-                raw = b"".join(_pack_bits(c, wd).tobytes() for c, wd in chunks)
-                out += struct.pack("<BI", 0, len(raw))
-                out += raw
+            stream = native.rans_encode(syms, freqs)
+            n_freq = int(np.max(np.nonzero(freqs)[0])) + 1
+            use_rans = 8 + 2 + 2 * n_freq + len(stream) < 4 + raw_bytes
+        if use_rans:
+            out += struct.pack("<BIIH", 1, syms.size, len(stream), n_freq)
+            out += freqs[:n_freq].astype(np.uint16).tobytes()
+            out += stream
+        else:
+            out += struct.pack("<BI", 0, raw_bytes)
+            for v in range(1, 9):
+                if nv[v]:
+                    out += _pack_bits(vals[wv == v], v).tobytes()
     return bytes(out)
 
 
-def _delta_mod(vals: np.ndarray, width: int) -> np.ndarray:
-    """Per-region delta transform modulo 2^width (first value kept)."""
-    d = np.empty_like(vals)
-    d[0] = vals[0]
-    d[1:] = (vals[1:].astype(np.int16) - vals[:-1].astype(np.int16)) & ((1 << width) - 1)
-    return d
+def serialize(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
+              use_pallas: bool | None = None, merge_policy: str = "match",
+              rd_lambda: float = 0.01, entropy: bool = True,
+              coalesce: bool = True, fused: bool | None = None) -> bytes:
+    """Encode an (H, W, 4) uint8 image into an LTP1 blob.
 
+    Runs the standard merged encode (same backend auto-selection as
+    regions.encode_image_merged: fused Morton kernels on accelerators, dense
+    jnp on CPU) and packs its state; the stream always represents exactly
+    the encode that ran. The RD policy optimizes the real serialized header
+    cost. ``entropy=False`` skips the rANS mode entirely."""
+    from .regions import encode_image_merged
 
-def _undelta_mod(d: np.ndarray, width: int) -> np.ndarray:
-    return (np.cumsum(d.astype(np.int64)) & ((1 << width) - 1)).astype(np.uint8)
-
-
-def _scatter_members(q_plane, mask_np, members, vals):
-    """Distribute a segment's concatenated pixel values back to its member
-    blocks (ascending flat order -- the serializer's concatenation order)."""
-    pos_m = 0
-    for m in members:
-        sel = mask_np[:, m]
-        cnt_m = int(sel.sum())
-        q_plane[sel, m] = vals[pos_m:pos_m + cnt_m]
-        pos_m += cnt_m
+    _, state = encode_image_merged(
+        image, cfg, seed=seed, num_levels=num_levels, fetch_planes=False,
+        fetch_decoded=False, use_pallas=use_pallas, merge_policy=merge_policy,
+        rd_lambda=rd_lambda, coalesce=coalesce, fused=fused,
+        return_state=True,
+        rd_header_bits=region_header_bits(cfg.channels)
+        if merge_policy == "rd" else None,
+    )
+    return serialize_from_state(state, cfg, entropy=entropy)
 
 
 def deserialize(blob: bytes):
-    """Parse an LTP1 blob and reconstruct the image.
+    """Parse an LTP1 v5 blob and reconstruct the image.
 
-    Returns ((H, W, 4) uint8 decoded image, info dict)."""
-    magic, ver, flags, w, h, num_levels, ef = struct.unpack_from("<4sBBIIBH", blob, 0)
-    if magic != _MAGIC or ver not in (_VERSION, _VERSION_ENTROPY, _VERSION_RUNS):
-        raise ValueError("not an LTP1 v2/v3/v4 stream")
-    entropy = ver == _VERSION_ENTROPY or (ver == _VERSION_RUNS and bool(flags & 2))
+    Returns ((H, W, 4) uint8 decoded image, info dict). Raises ValueError on
+    malformed or truncated streams."""
+    try:
+        magic, ver, flags, w, h, num_levels, ef = struct.unpack_from(_HDR_FMT, blob, 0)
+    except struct.error as e:
+        raise ValueError(f"not an LTP1 stream: {e}")
+    if magic != _MAGIC or ver != _VERSION:
+        raise ValueError("not an LTP1 v5 stream")
+    if not (1 <= num_levels <= 4) or h == 0 or w == 0:
+        raise ValueError("corrupt LTP1 stream: bad dimensions/levels")
     has_alpha = bool(flags & 1)
     ch = 4 if has_alpha else 3
-    off = struct.calcsize("<4sBBIIBH")
+    off = struct.calcsize(_HDR_FMT)
+    by, bx = -(-h // BLOCK_SIZE), -(-w // BLOCK_SIZE)
+    nb = by * bx
 
-    grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
-    nb0 = grids[0].num_blocks
-    owner_bytes = -(-nb0 * 2 // 8)
+    owner_bytes = -(-nb * 2 // 8)
     owner0 = _unpack_bits(
-        np.frombuffer(blob, np.uint8, owner_bytes, off), nb0, 2
-    )
+        np.frombuffer(blob, np.uint8, owner_bytes, off), nb, 2
+    ).astype(np.int64)
     off += owner_bytes
+    if (owner0 >= num_levels).any():
+        raise ValueError("corrupt LTP1 stream: owner level out of range")
 
-    run_seg = None
-    if ver == _VERSION_RUNS:
-        codes = _unpack_bits(
-            np.frombuffer(blob, np.uint8, owner_bytes, off), nb0, 2
-        ).astype(np.uint8)
-        off += owner_bytes
-        # resolve join codes row by row: up-joins copy the (already
-        # resolved) row above, left-joins forward-fill within the row
-        by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
-        seg2d = np.arange(nb0, dtype=np.int64).reshape(by0, bx0)
-        codes2d = codes.reshape(by0, bx0)
-        col = np.arange(bx0)
-        for y in range(by0):
-            row = seg2d[y]
-            up = codes2d[y] == 2
-            if y and up.any():
-                row[up] = seg2d[y - 1][up]
-            left = codes2d[y] == 1
-            if left.any():
-                fill = np.maximum.accumulate(np.where(left, -1, col))
-                seg2d[y] = row[np.maximum(fill, 0)]
-        run_seg = seg2d.reshape(-1)
-
-    # owned masks per level from the owner map
-    by0, bx0 = grids[0].blocks_y, grids[0].blocks_x
-    owner_grid = owner0.reshape(by0, bx0)
-    owned = []
-    for lvl in range(num_levels):
-        gy, gx = grids[lvl].blocks_y, grids[lvl].blocks_x
-        o = np.zeros((gy, gx), bool)
-        anchor = owner_grid[:: 1 << lvl, :: 1 << lvl]
-        o[: anchor.shape[0], : anchor.shape[1]] = anchor == lvl
-        owned.append(o.reshape(-1))
-
-    dec_imgs = []
-    level_arrays = []
-    pending = []              # v3: (lvl, r, n, s) in stream order
-    for lvl in range(num_levels):
-        grid = grids[lvl]
-        bsz = BLOCK_SIZE << lvl
-        p = bsz * bsz
-        nb = grid.num_blocks
-        counts = _region_pixel_counts(grid, bsz, h, w)
-        _, mask, _ = layout.blockify(jnp.zeros((h, w, 1), jnp.uint8), bsz)
-        mask_np = np.asarray(mask)
-        shifts = np.zeros((3, nb), np.int32)
-        q = np.zeros((3, p, nb), np.int32)
-        eps = [np.zeros((ch, nb), np.int32) for _ in range(6)]
-        own_idx = np.nonzero(owned[lvl])[0]
-        if lvl == 0 and run_seg is not None:
-            order = own_idx[np.argsort(run_seg[own_idx], kind="stable")]
-            bounds = np.flatnonzero(np.diff(run_seg[order])) + 1
-            groups = np.split(order, bounds)
-        else:
-            groups = [np.array([r]) for r in own_idx]
-        ep_bytes = -(-6 * ch * _EP_BITS // 8)
-        if entropy and groups:
-            # v3/v4 defer factor bits to the per-axis sections, so the
-            # region headers are CONTIGUOUS fixed-size records: bulk-parse
-            # them instead of ~1.5 ms of numpy-call overhead per region
-            rec = 2 + ep_bytes
-            ng = len(groups)
-            raw = np.frombuffer(blob, np.uint8, rec * ng, off).reshape(ng, rec)
-            off += rec * ng
-            swords = raw[:, 0].astype(np.uint32) | (raw[:, 1].astype(np.uint32) << 8)
-            s_all = np.stack(
-                [swords & 0xF, (swords >> 4) & 0xF, (swords >> 8) & 0xF]
-            ).astype(np.int32)                                   # (3, ng)
-            bits = np.unpackbits(raw[:, 2:], axis=1, bitorder="little")
-            bits = bits[:, :6 * ch * _EP_BITS].reshape(ng, 6 * ch, _EP_BITS)
-            ep_all = (
-                (bits.astype(np.int32) << np.arange(_EP_BITS)).sum(axis=2)
-                - _EP_BIAS
-            )                                                    # (ng, 6*ch)
-            for gi, members in enumerate(groups):
-                shifts[:, members] = s_all[:, gi:gi + 1]
-                for j, e in enumerate(eps):
-                    e[:, members] = ep_all[gi, j * ch:(j + 1) * ch, None]
-                pending.append(
-                    (lvl, members, int(counts[members].sum()), s_all[:, gi])
-                )
-        else:
-            for members in groups:
-                (sword,) = struct.unpack_from("<H", blob, off)
-                off += 2
-                s = [sword & 0xF, (sword >> 4) & 0xF, (sword >> 8) & 0xF]
-                shifts[:, members] = np.asarray(s)[:, None]
-                ep_vals = _unpack_bits(
-                    np.frombuffer(blob, np.uint8, ep_bytes, off), 6 * ch, _EP_BITS
-                ).astype(np.int32) - _EP_BIAS
-                off += ep_bytes
-                for j, e in enumerate(eps):
-                    e[:, members] = ep_vals[j * ch:(j + 1) * ch, None]
-                n = int(counts[members].sum())
-                for k in range(3):
-                    width = 8 - s[k]
-                    if width > 0:
-                        nbytes = -(-n * width // 8)
-                        vals = _unpack_bits(
-                            np.frombuffer(blob, np.uint8, nbytes, off), n, width
-                        )
-                        off += nbytes
-                        _scatter_members(q[k], mask_np, members, vals)
-        level_arrays.append((shifts, q, eps, mask_np))
-
-    if entropy:
-        from . import native
-
-        # three per-axis sections, then scatter the decoded symbols back
-        for k in range(3):
-            (mode,) = struct.unpack_from("<B", blob, off)
-            off += 1
-            if mode == 1:
-                n_syms, n_bytes, n_freq = struct.unpack_from("<IIH", blob, off)
-                off += 10
-                freqs = np.zeros(256, np.uint32)
-                freqs[:n_freq] = np.frombuffer(blob, np.uint16, n_freq, off)
-                off += 2 * n_freq
-                syms = (
-                    native.rans_decode(blob[off:off + n_bytes], freqs, n_syms)
-                    if n_syms else np.zeros(0, np.uint8)
-                )
-                off += n_bytes
-                live = [(lvl, members, n, 8 - s[k]) for lvl, members, n, s
-                        in pending if 8 - s[k] > 0]
-                lens = np.array([n for _, _, n, _ in live], np.int64)
-                if lens.sum() != n_syms:
-                    raise ValueError("corrupt LTP1 stream: symbol count mismatch")
-                if live:
-                    # vectorized segmented undelta over the WHOLE stream:
-                    # within a segment, undelta[i] = (C[i] - C[start-1]) mod
-                    # 2^w (mod commutes with the subtraction); the per-region
-                    # python loop was ~100k numpy calls on a 1080p image
-                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                    widths = np.array([w for *_, w in live], np.int64)
-                    c = np.cumsum(syms.astype(np.int64))
-                    seg_base = np.repeat(
-                        c[starts] - syms[starts].astype(np.int64), lens
-                    )
-                    u = ((c - seg_base) & np.repeat((1 << widths) - 1, lens)
-                         ).astype(np.uint8)
-                    # bulk-scatter full singleton blocks (the mass); loop the
-                    # rest (runs, edge-partial regions)
-                    by_level_full = {}
-                    pos = 0
-                    for ei, (lvl, members, n, _) in enumerate(live):
-                        q_l = level_arrays[lvl][1]
-                        p_l = q_l.shape[1]
-                        if len(members) == 1 and n == p_l:
-                            by_level_full.setdefault(lvl, ([], []))
-                            by_level_full[lvl][0].append(int(members[0]))
-                            by_level_full[lvl][1].append(pos)
-                        else:
-                            mask_np = level_arrays[lvl][3]
-                            _scatter_members(q_l[k], mask_np, members,
-                                             u[pos:pos + n])
-                        pos += n
-                    for lvl, (cols, offs) in by_level_full.items():
-                        q_l = level_arrays[lvl][1]
-                        p_l = q_l.shape[1]
-                        gather = (np.asarray(offs)[:, None]
-                                  + np.arange(p_l)[None, :])
-                        q_l[k][:, np.asarray(cols)] = u[gather].T
-            else:
-                (n_bytes,) = struct.unpack_from("<I", blob, off)
-                off += 4
-                pos = off
-                for lvl, members, n, s in pending:
-                    width = 8 - s[k]
-                    if width <= 0:
-                        continue
-                    _, q_l, _, mask_np = level_arrays[lvl]
-                    nbytes = -(-n * width // 8)
-                    d_vals = _unpack_bits(
-                        np.frombuffer(blob, np.uint8, nbytes, pos), n, width
-                    ).astype(np.uint8)
-                    pos += nbytes
-                    _scatter_members(q_l[k], mask_np, members,
-                                     _undelta_mod(d_vals, width))
-                if pos != off + n_bytes:
-                    raise ValueError("corrupt LTP1 stream: raw section length mismatch")
-                off = pos
-
-    for lvl in range(num_levels):
-        grid = grids[lvl]
-        bsz = BLOCK_SIZE << lvl
-        shifts, q, eps, _ = level_arrays[lvl]
-        d = Decomposition(
-            avg=jnp.zeros((ch, grid.num_blocks), jnp.float32),
-            dirA_min=jnp.asarray(eps[0]), dirA_max=jnp.asarray(eps[1]),
-            dirB_offset=jnp.asarray(eps[2]), dirB_mag=jnp.asarray(eps[3]),
-            dirC_offset=jnp.asarray(eps[4]), dirC_mag=jnp.asarray(eps[5]),
-        )
-        dec = decode_blocks(jnp.asarray(q), jnp.asarray(shifts), d, ch)
-        dec_imgs.append(layout.unblockify(dec.astype(jnp.uint8), grid, bsz))
-
-    owner_px = layout.broadcast_block_plane(
-        jnp.asarray(owner0.astype(np.int32)), grids[0], BLOCK_SIZE
+    (n_runs,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    run_rec = np.frombuffer(
+        blob, dtype=[("l", "<u4"), ("w", "<u2"), ("h", "<u2")],
+        count=n_runs, offset=off,
     )
-    decoded = dec_imgs[0]
-    for lvl in range(1, num_levels):
-        decoded = jnp.where((owner_px == lvl)[..., None], dec_imgs[lvl], decoded)
+    off += 8 * n_runs
+    lead = _lead_levels(owner0, by, bx, num_levels)
+    if n_runs:
+        rl = run_rec["l"].astype(np.int64)
+        rw = run_rec["w"].astype(np.int64)
+        rh = run_rec["h"].astype(np.int64)
+        if ((rw < 1) | (rh < 1) | (rl % bx + rw > bx)
+                | (rl // bx + rh > by)).any():
+            raise ValueError("corrupt LTP1 stream: run rectangle out of bounds")
+        sizes = rw * rh
+        rep_l = np.repeat(rl, sizes)
+        gidx = np.arange(int(sizes.sum())) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+        rep_w = np.repeat(rw, sizes)
+        mem = rep_l + (gidx // rep_w) * bx + gidx % rep_w
+        # runs may coalesce regions of ANY owner level (level-L runs cover
+        # whole 2^L squares); all members must share the leader's level
+        if np.unique(mem).size != mem.size or (owner0[mem] != owner0[rep_l]).any():
+            raise ValueError("corrupt LTP1 stream: overlapping or mixed-level runs")
+        lead[mem] = rep_l
+
+    keys, inv, order = _segments_of(owner0, lead, nb)
+    nseg = keys.size
+    (n_seg_stored,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    if n_seg_stored != nseg:
+        raise ValueError("corrupt LTP1 stream: segment count mismatch")
+
+    rec = 2 + 6 * ch * _EP_BITS // 8
+    raw = np.frombuffer(blob, np.uint8, rec * nseg, off).reshape(nseg, rec)
+    off += rec * nseg
+    swords = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
+    s_hdr = np.stack([swords & 0xF, (swords >> 4) & 0xF, (swords >> 8) & 0xF])
+    if (s_hdr > 8).any():
+        raise ValueError("corrupt LTP1 stream: shift out of range")
+    bits = np.unpackbits(raw[:, 2:], axis=1, bitorder="little")
+    bits = bits[:, : 6 * ch * _EP_BITS].reshape(nseg, 6 * ch, _EP_BITS)
+    ep_hdr = ((bits.astype(np.int64) << np.arange(_EP_BITS)).sum(axis=2)
+              - _EP_BIAS)                                        # (nseg, 6ch)
+
+    maskb = _block_mask(h, w)
+    pixcnt = maskb.sum(axis=1)
+    seg_cols = inv[order]
+    q = np.zeros((3, nb * 64), np.int32)
+    for k in range(3):
+        wk = (8 - s_hdr[k]).astype(np.int16)
+        w_blk = wk[seg_cols]
+        selc = w_blk > 0
+        ck = order[selc]
+        wb = w_blk[selc]
+        cnts = pixcnt[ck]
+        n_k = int(cnts.sum())
+        n_sel = ck.size
+        mm = maskb[ck]
+        tgt = (ck[:, None] * 64 + np.arange(64))[mm]
+        wv = np.broadcast_to(wb[:, None], (n_sel, 64))[mm]
+        (mode,) = struct.unpack_from("<B", blob, off)
+        off += 1
+        if mode == 1:
+            n_syms, n_bytes, n_freq = struct.unpack_from("<IIH", blob, off)
+            off += 10
+            if n_syms != n_k:
+                raise ValueError("corrupt LTP1 stream: symbol count mismatch")
+            freqs = np.zeros(256, np.uint32)
+            freqs[:n_freq] = np.frombuffer(blob, np.uint16, n_freq, off)
+            off += 2 * n_freq
+            from . import native
+
+            syms = (native.rans_decode(blob[off:off + n_bytes], freqs, n_syms)
+                    if n_syms else np.zeros(0, np.uint8))
+            off += n_bytes
+            sk32 = seg_cols[selc].astype(np.int32)
+            sv = np.broadcast_to(sk32[:, None], (n_sel, 64))[mm]
+            vals = _undelta_seg(syms, sv, wv) if n_syms else syms
+            q[k, tgt] = vals
+        elif mode == 0:
+            (n_bytes,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            nv = np.bincount(wb, weights=cnts, minlength=9).astype(np.int64)
+            if n_bytes != int(sum(-(-nv[v] * v // 8) for v in range(1, 9))):
+                raise ValueError("corrupt LTP1 stream: raw section length mismatch")
+            pos = off
+            for v in range(1, 9):
+                if not nv[v]:
+                    continue
+                n_v = int(nv[v])
+                gbytes = -(-n_v * v // 8)
+                vals_v = _unpack_bits(
+                    np.frombuffer(blob, np.uint8, gbytes, pos), n_v, v
+                )
+                pos += gbytes
+                q[k, tgt[wv == v]] = vals_v
+            off = pos
+        else:
+            raise ValueError("corrupt LTP1 stream: unknown section mode")
+    if off != len(blob):
+        raise ValueError("corrupt LTP1 stream: trailing bytes")
+
+    # one level-0 decode with each segment's header broadcast to its blocks,
+    # entirely on host (see _decode_blocks_np)
+    shifts_blk = s_hdr[:, inv].astype(np.int32)                  # (3, NB)
+    eps_blk = ep_hdr[inv].T.astype(np.int32)                     # (6ch, NB)
+    dec = _decode_blocks_np(
+        q.reshape(3, nb, 64), shifts_blk, eps_blk, ch
+    )                                                            # (ch, NB, 64)
+    grid0 = layout.grid_for(h, w, BLOCK_SIZE)
+    by_g, bx_g = grid0.blocks_y, grid0.blocks_x
+    tiles = dec.reshape(ch, by_g, bx_g, 8, 8).transpose(1, 3, 2, 4, 0)
+    decoded = tiles.reshape(by_g * 8, bx_g * 8, ch)[:h, :w]
     if ch == 3:
-        decoded = jnp.concatenate(
-            [decoded, jnp.full((h, w, 1), 0xFF, jnp.uint8)], axis=-1
+        decoded = np.concatenate(
+            [decoded, np.full((h, w, 1), 0xFF, np.uint8)], axis=-1
         )
     info = dict(
         width=w, height=h, has_alpha=has_alpha, levels=num_levels,
         error_factor=ef, stream_bytes=len(blob),
         real_bpp=len(blob) * 8.0 / (w * h),
+        n_runs=int(n_runs), n_segments=int(nseg),
     )
-    return np.asarray(decoded), info
+    return np.ascontiguousarray(decoded), info

@@ -167,9 +167,16 @@ def main(argv=None):
         num_factors=opts["num_factors"],
     )
 
+    ser_state = None
     before = time.perf_counter()
     if opts["fixed_grid"]:
         out = encode_image(image, cfg)
+    elif opts["write_ltp1"] or opts["diagnose"]:
+        # one encode serves the stats, the stream, and the diagnostics
+        out, ser_state = encode_image_merged(
+            image, cfg, use_pallas=opts["use_pallas"],
+            merge_policy=opts["merge_policy"], return_state=True,
+        )
     else:
         out = encode_image_merged(image, cfg, use_pallas=opts["use_pallas"],
                                   merge_policy=opts["merge_policy"])
@@ -189,30 +196,45 @@ def main(argv=None):
     )
 
     if opts["diagnose"]:
-        # culprit breakdown (reference debug builds, src/limg.cpp:2412-2428)
-        import jax.numpy as jnp
-        from .ops import layout as _layout
-        from .ops.fit import fit_blocks
-        from .ops.factors import extract_factors, quantize_factors
-        from .ops.crush import find_shifts
-        from .utils.diagnostics import crush_culprits, format_culprits
+        # culprit breakdown of the encode that ran
+        # (reference debug builds, src/limg.cpp:2412-2428)
+        from .utils.diagnostics import (
+            crush_culprits, crush_culprits_merged, format_culprits,
+        )
 
-        px, mask, _ = _layout.blockify(jnp.asarray(image))
-        d = fit_blocks(px, mask, cfg.channels)
-        f8 = quantize_factors(*extract_factors(px, d, cfg.channels))
-        shifts, _ = find_shifts(px, mask, f8, d, cfg)
-        merge_stats = None if opts["fixed_grid"] else out.get("merge_stats")
-        print(format_culprits(
-            crush_culprits(px, mask, f8, d, shifts, cfg), merge_stats
-        ))
+        if ser_state is not None:
+            # region-granular culprits from the merged encode's own state
+            culprits = crush_culprits_merged(image, ser_state, cfg)
+            merge_stats = out.get("merge_stats")
+        else:
+            # fixed-grid: per-block culprits of the fixed-grid encode
+            import jax.numpy as jnp
+            from .ops import layout as _layout
+            from .ops.fit import fit_blocks
+            from .ops.factors import extract_factors, quantize_factors
+            from .ops.crush import find_shifts
+
+            px, mask, _ = _layout.blockify(jnp.asarray(image))
+            d = fit_blocks(px, mask, cfg.channels)
+            f8 = quantize_factors(*extract_factors(px, d, cfg.channels))
+            shifts, _ = find_shifts(px, mask, f8, d, cfg)
+            culprits = crush_culprits(px, mask, f8, d, shifts, cfg)
+            merge_stats = None
+        print(format_culprits(culprits, merge_stats,
+                              out.get("coalesce_stats")))
 
     if opts["write_ltp1"]:
-        from .bitstream import serialize
+        from .bitstream import serialize, serialize_from_state
 
-        blob = serialize(
-            image, cfg, num_levels=1 if opts["fixed_grid"] else 3,
-            merge_policy=opts["merge_policy"],
-        )
+        if ser_state is not None:
+            # the stream represents exactly the encode reported above
+            blob = serialize_from_state(ser_state, cfg)
+        else:
+            blob = serialize(
+                image, cfg, num_levels=1,
+                use_pallas=opts["use_pallas"],
+                merge_policy=opts["merge_policy"],
+            )
         with open(opts["write_ltp1"], "wb") as f:
             f.write(blob)
         print(
@@ -236,6 +258,23 @@ def main(argv=None):
         if "endpoint_planes" in out:
             for name, plane in out["endpoint_planes"].items():
                 write_tga(f"limg_{name}.tga", plane)
+        elif "endpoint_rows" in out:
+            # merged path: 6 endpoint-color planes from the owner-region
+            # per-block rows (reference writes all 12 debug TGAs,
+            # src/main.cpp:353-369; +0x80 bias on B/C as at limg.cpp:1609-17)
+            ch = cfg.channels
+            by, bx = -(-h // 8), -(-w // 8)
+            names = ["col_a_min", "col_a_max", "col_b_min", "col_b_max",
+                     "col_c_min", "col_c_max"]
+            for j, name in enumerate(names):
+                bias = 0 if j < 2 else 0x80
+                v = np.clip(
+                    out["endpoint_rows"][j * ch:(j + 1) * ch] + bias, 0, 255
+                ).astype(np.uint8).reshape(ch, by, bx)
+                px_plane = np.repeat(np.repeat(v, 8, axis=1), 8, axis=2)
+                rgba = np.full((h, w, 4), 0xFF, np.uint8)
+                rgba[..., :ch] = px_plane[:, :h, :w].transpose(1, 2, 0)
+                write_tga(f"limg_{name}.tga", rgba)
         # shift plane as bit patterns (reference: src/limg.cpp:1596-1598)
         patt = np.array([0, 0x22, 0x44, 0x66, 0x88, 0xAA, 0xCC, 0xEE, 0xFF], np.uint8)
         sh = out["shift"]
@@ -290,13 +329,27 @@ def _run_list_mode(opts, crush_mode):
         key = jax.random.PRNGKey(0)
         mpx = image.shape[0] * image.shape[1] * 1e-6
         if single_perf:
+            # `count` timed samples as in the reference harness; each sample
+            # batches `inner` dispatches so the fetch RTT amortizes away
+            inner = 4
             per, det = time_device_fn(
                 lambda: perf_step(img_d, cfg, key),
-                iters=opts["count"], inner=min(5, opts["count"]),
+                iters=opts["count"] * inner, inner=inner,
+            )
+            # full statistical report in the reference's format
+            # (src/main.cpp:310-323): mean (min - max | mean-/+sigma)
+            mn, mx, sd = det["best_s"], det["worst_s"], det["std_s"]
+            print(
+                "Mean Elapsed Time: %8.4f ms (%8.4f - %8.4f ms | %8.4f - "
+                "%8.4f ms std dev)"
+                % (per * 1e3, mn * 1e3, mx * 1e3,
+                   (per - sd) * 1e3, (per + sd) * 1e3)
             )
             print(
-                "Mean Elapsed Time: %8.4f ms\nThroughput: %5.3f Mpx/s"
-                % (per * 1e3, mpx / per)
+                "Throughput: %5.3f Mpx/s (%5.3f - %5.3f Mpx/s | %5.3f - "
+                "%5.3f Mpx/s std dev)"
+                % (mpx / per, mpx / mx, mpx / mn,
+                   mpx / (per + sd), mpx / max(per - sd, 1e-9))
             )
         else:
             per, _ = time_device_fn(

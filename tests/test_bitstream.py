@@ -26,10 +26,10 @@ def test_roundtrip_exact(rng, num_levels):
     cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
     blob = serialize(img, cfg, seed=0, num_levels=num_levels)
     dec, info = deserialize(blob)
-    # v4 means the coalesced runs paid for their join-code plane and are in
-    # the stream; otherwise the stream matches the uncoalesced encode
+    # the v5 stream always represents exactly the encode that ran
+    # (coalesced runs included)
     ref = encode_image_merged(img, cfg, seed=0, num_levels=num_levels,
-                              coalesce=blob[4] == 4, fused=False)
+                              coalesce=True, fused=False)
     assert np.array_equal(dec, ref["decoded"])
     assert info["levels"] == num_levels
     assert info["real_bpp"] < 32  # always beats raw RGBA
@@ -45,8 +45,23 @@ def test_roundtrip_rgba(rng):
     dec, info = deserialize(blob)
     assert info["has_alpha"]
     ref = encode_image_merged(img, cfg, seed=0, num_levels=2,
-                              coalesce=blob[4] == 4, fused=False)
+                              coalesce=True, fused=False)
     assert np.array_equal(dec, ref["decoded"])
+
+
+def test_serialize_from_state_matches_wrapper(rng):
+    """serialize() == serialize_from_state(encode's state): one encode
+    serves both the stats and the stream (the CLI single-encode path)."""
+    from limg_tpu.bitstream import serialize_from_state
+
+    img = make_test_image(rng, 48, 56)
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    out, state = encode_image_merged(img, cfg, seed=0, num_levels=3,
+                                     fused=False, return_state=True)
+    blob = serialize_from_state(state, cfg)
+    assert blob == serialize(img, cfg, seed=0, num_levels=3)
+    dec, _ = deserialize(blob)
+    assert np.array_equal(dec, out["decoded"])
 
 
 def test_stream_smaller_at_higher_error_factor(rng):
@@ -73,9 +88,10 @@ def test_reject_garbage():
         deserialize(b"NOPE" + b"\x00" * 100)
 
 
-def test_v3_entropy_roundtrip_and_never_larger():
-    """LTP1 v3 (delta + rANS factor planes) decodes identically to v2 and
-    the per-axis mode fallback keeps it from ever losing to v2."""
+def test_entropy_roundtrip_and_never_larger():
+    """Delta + rANS factor sections decode identically to the raw var-width
+    packing, and the per-axis mode fallback keeps entropy=True from ever
+    losing to entropy=False."""
     from limg_tpu.bitstream import serialize, deserialize
 
     cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
@@ -102,8 +118,8 @@ def test_rans_codec_roundtrip():
     assert len(blob) * 8 < 4 * syms.size
 
 
-def test_v4_runs_roundtrip_and_smaller():
-    """Coalesced runs serialize as v4 (join-code plane + shared headers),
+def test_runs_roundtrip_and_smaller():
+    """Coalesced runs serialize as explicit rectangles sharing one header,
     decode exactly, and shrink the stream on banded content."""
     rng = np.random.default_rng(9)
     img = rng.integers(0, 255, (64, 96, 4)).astype(np.uint8)
@@ -112,12 +128,33 @@ def test_v4_runs_roundtrip_and_smaller():
     cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
     b_run = serialize(img, cfg, seed=0, num_levels=3, coalesce=True)
     b_no = serialize(img, cfg, seed=0, num_levels=3, coalesce=False)
-    assert b_run[4] == 4 and b_no[4] == 3     # version bytes
     dec, info = deserialize(b_run)
+    assert info["n_runs"] > 0
+    _, info_no = deserialize(b_no)
+    assert info_no["n_runs"] == 0
     ref = encode_image_merged(img, cfg, seed=0, num_levels=3,
                               coalesce=True, fused=False)
     assert np.array_equal(dec, ref["decoded"])
     assert len(b_run) < len(b_no)
+
+
+def test_flat_image_single_region():
+    """A fully flat image must collapse to ~one region: the quadtree merges
+    to the top level and the multi-level coalesce pass runs the remaining
+    squares into one rectangle (the analog of the reference's unbounded
+    region growth, src/limg.cpp:1390-1496)."""
+    img = np.full((128, 128, 4), 90, np.uint8)
+    img[..., 3] = 255
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    blob = serialize(img, cfg, seed=0, num_levels=3)
+    dec, info = deserialize(blob)
+    assert info["n_segments"] <= 2
+    assert info["n_runs"] >= 1
+    ref = encode_image_merged(img, cfg, seed=0, num_levels=3, fused=False)
+    assert np.array_equal(dec, ref["decoded"])
+    # ~one header: the stream is dominated by the fixed planes, far below
+    # one header per 8x8 block
+    assert len(blob) < 16 * 16 * 4
 
 
 def test_truncated_streams_raise():

@@ -59,3 +59,25 @@ def test_crush_culprits(rng):
     # the ladder should leave very few admissible single-step improvements
     assert c["expandable"] / c["blocks"] < 0.25
     assert "CULPRIT" in format_culprits(c)
+
+
+def test_crush_culprits_merged(rng):
+    """Region-granular culprits computed from the merged encode's own state
+    (the encode that ran, not a fixed-grid re-encode): culprit counts must
+    track the encode's region count and differ from the fixed-grid counts
+    when regions merged."""
+    from limg_tpu.regions import encode_image_merged
+    from limg_tpu.utils.diagnostics import crush_culprits_merged
+
+    img = make_test_image(rng, 48, 64)
+    img[:16, :, :3] = [80, 120, 160]      # mergeable band
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder")
+    out, state = encode_image_merged(img, cfg, seed=0, num_levels=3,
+                                     fused=False, return_state=True)
+    c = crush_culprits_merged(img, state, cfg)
+    nb0 = 6 * 8
+    assert c["blocks"] < nb0              # merged/coalesced regions < blocks
+    total = (c["pixel_bound"] + c["block_bound"] + c["saturated"]
+             + c["expandable"])
+    assert total <= c["blocks"]
+    assert "CULPRIT" in format_culprits(c, out.get("merge_stats"))

@@ -1,0 +1,110 @@
+"""TPU-COMPILED kernel parity gate.
+
+All regular Pallas tests run in interpret mode on the CPU mesh; Mosaic
+compilation can in principle drift from the interpreter. This script runs on
+the REAL device and asserts the compiled fused kernel is bit-identical to
+the jnp path on shifts / endpoints / crushed factors / decode for every
+crush mode and region size P in {64, 256, 1024, 4096} (8/16/32/64 px
+squares), RGB and RGBA. Dither is off: its PRNGs differ by design
+(statistical parity), while everything the project's bit-parity invariant
+covers is checked exactly.
+
+Run (serialized TPU access): python tools/tpu_parity_gate.py
+Prints one JSON line; exit code 1 on any mismatch. The pytest wrapper is
+tests/test_tpu_parity.py (-m tpu; auto-skipped off-device).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    from limg_tpu.config import EncodeConfig
+    from limg_tpu.encoder import encode_blocks
+    from limg_tpu.ops import layout
+    from limg_tpu.pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
+    from tools.make_test_image import make_4k
+
+    img3 = make_4k(232, 328)        # small: exhaustive at P=4096 is costly
+    h, w = img3.shape[:2]
+    rng = np.random.default_rng(5)
+    alpha = np.clip(140 + 40 * rng.standard_normal((h, w, 1)), 0, 255)
+    img4 = np.concatenate([img3, alpha.astype(np.uint8)], axis=-1)
+
+    results = {}
+    failures = []
+    for has_alpha in (False, True):
+        src = img4 if has_alpha else np.concatenate(
+            [img3, np.full((h, w, 1), 255, np.uint8)], axis=-1
+        )
+        for bsz in sizes:
+            px, mask, _ = layout.blockify(jnp.asarray(src), bsz)
+            packed = pack_channels(px)
+            for mode in modes:
+                cfg = EncodeConfig(error_factor=100, has_alpha=has_alpha,
+                                   crush_mode=mode, dithering=False)
+                key = jax.random.PRNGKey(0)
+                res = jax.jit(encode_blocks, static_argnames=("cfg",))(
+                    px, mask, cfg, key
+                )
+                outs = encode_blocks_pallas(
+                    packed, mask.astype(jnp.int32), cfg, jnp.int32(0),
+                    emit_endpoints=True,
+                )
+                shifts_k, q_k, dec_k = outs[0], outs[1], outs[2]
+                eps_k = outs[4:10]
+                name = f"ch{4 if has_alpha else 3}_P{bsz * bsz}_{mode}"
+                ch = cfg.channels
+                d = res.decomposition
+                eps_j = [d.dirA_min, d.dirA_max, d.dirB_offset, d.dirB_mag,
+                         d.dirC_offset, d.dirC_mag]
+                q_j = (res.factors[0] + (res.factors[1] << 8)
+                       + (res.factors[2] << 16))
+                dec_j = res.decoded[0].astype(jnp.int32)
+                for c in range(1, ch):
+                    dec_j = dec_j + (res.decoded[c].astype(jnp.int32) << (8 * c))
+                if ch == 3:
+                    dec_j = dec_j + jnp.int32(np.uint32(0xFF000000).view(np.int32))
+                checks = {
+                    "shifts": bool(np.array_equal(np.asarray(res.shifts),
+                                                  np.asarray(shifts_k))),
+                    "endpoints": all(
+                        np.array_equal(np.asarray(a), np.asarray(b))
+                        for a, b in zip(eps_j, eps_k)
+                    ),
+                    "factors": bool(np.array_equal(np.asarray(q_j),
+                                                   np.asarray(q_k))),
+                    "decode": bool(np.array_equal(np.asarray(dec_j),
+                                                  np.asarray(dec_k))),
+                }
+                results[name] = checks
+                if not all(checks.values()):
+                    failures.append(name)
+    return results, failures
+
+
+def main():
+    results, failures = run_gate()
+    print(json.dumps({
+        "gate": "tpu_compiled_kernel_parity",
+        "cases": len(results),
+        "failures": failures,
+        "ok": not failures,
+        "results": results,
+    }))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
