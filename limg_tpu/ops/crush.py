@@ -114,15 +114,61 @@ def _all_triples() -> np.ndarray:
     return np.stack([a.ravel(), b.ravel(), c.ravel()], axis=1).astype(np.int32)  # (729, 3)
 
 
-def _scan_candidates_core(eval_fn, count, cfg, es, candidates, floors=None):
+def _scan_candidates_core(eval_fn, count, cfg, es, candidates, floors=None,
+                          eval_batch=None):
     """Exact-evaluate K candidate triples per region, select the best.
 
     ``eval_fn(shifts (3, N)) -> (pix_max (N,), block_err (N,))`` defines the
     region granularity (plain blocks or coalesced segments).
     ``candidates``: (K, 3, N) i32, ordered so that on equal
     (total, block_err) the *later* candidate is the preferred
-    (lexicographically larger) one. Returns (shifts (3, N), block_err (N,)).
+    (lexicographically larger) one. ``eval_batch(cands (K, 3, N)) ->
+    (pix (K, N), blk (K, N))`` evaluates all candidates with BATCHED
+    region reductions (the per-candidate scan chains otherwise emit
+    thousands of tiny XLA ops on the segment path -- measured ~half the
+    merged encode's device time). Returns (shifts (3, N), block_err (N,)).
     """
+    n = candidates.shape[-1]
+    init = (
+        jnp.zeros((3, n), jnp.int32),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), 2**31 - 1, jnp.int32),
+    )
+    if eval_batch is not None:
+        def fold(carry, cands, pm_k, be_k):
+            best_s, best_total, best_err = carry
+            for i in range(cands.shape[0]):
+                shifts = cands[i]
+                ok = _admissible(pm_k[i], be_k[i], count, cfg, es, floors)
+                total = jnp.minimum(shifts, 8).sum(axis=0)
+                take = ok & ((total > best_total)
+                             | ((total == best_total) & (be_k[i] <= best_err)))
+                best_s = jnp.where(take, shifts, best_s)
+                best_total = jnp.where(take, total, best_total)
+                best_err = jnp.where(take, be_k[i], best_err)
+            return best_s, best_total, best_err
+
+        k_tot = candidates.shape[0]
+        chunk = 27
+        if k_tot <= chunk:
+            pm_k, be_k = eval_batch(candidates)
+            best_s, _, best_err = fold(init, candidates, pm_k, be_k)
+            return best_s, best_err
+        # Big candidate sets (exhaustive: 729): chunked lax.scan so the
+        # graph holds ONE batched evaluation, executed per chunk. Padding
+        # repeats the last candidate -- a duplicate re-take is a no-op.
+        pad = (-k_tot) % chunk
+        if pad:
+            candidates = jnp.concatenate(
+                [candidates, jnp.broadcast_to(candidates[-1:], (pad, 3, n))])
+        chunks = candidates.reshape(-1, chunk, 3, n)
+
+        def body(carry, ch):
+            pm_k, be_k = eval_batch(ch)
+            return fold(carry, ch, pm_k, be_k), None
+
+        (best_s, _, best_err), _ = lax.scan(body, init, chunks)
+        return best_s, best_err
 
     def body(carry, shifts):
         best_s, best_total, best_err = carry
@@ -135,35 +181,40 @@ def _scan_candidates_core(eval_fn, count, cfg, es, candidates, floors=None):
         best_err = jnp.where(take, block_err, best_err)
         return (best_s, best_total, best_err), None
 
-    n = candidates.shape[-1]
-    init = (
-        jnp.zeros((3, n), jnp.int32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.full((n,), 2**31 - 1, jnp.int32),
-    )
     (best_s, _, best_err), _ = lax.scan(body, init, candidates)
     return best_s, best_err
 
 
-def exhaustive_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
+def exhaustive_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None,
+                    eval_batch=None):
     """All 729 triples, ascending lex order (ties -> later/larger wins)."""
     cand = jnp.broadcast_to(jnp.asarray(_all_triples())[:, :, None], (729, 3, n))
-    return _scan_candidates_core(eval_fn, count, cfg, es, cand, floors)
+    return _scan_candidates_core(eval_fn, count, cfg, es, cand, floors,
+                                 eval_batch=eval_batch)
 
 
-def guess_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
+def guess_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None,
+               eval_batch=None):
     """The reference's canned-guess acceptance logic, batched.
 
     if ok(4,5,6): pick (5,8,8) if ok else (4,6,8) if ok else (4,5,6)
     else:         pick (2,4,5) if ok else (0,0,0)
     (src/limg_bit_crush.h:332-392)
     """
-    oks, errs = [], []
-    for t in GUESS_TRIPLES:
-        shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, n))
-        pix_max, block_err = eval_fn(shifts)
-        oks.append(_admissible(pix_max, block_err, count, cfg, es, floors))
-        errs.append(block_err)
+    if eval_batch is not None:
+        cand = jnp.broadcast_to(
+            jnp.asarray(GUESS_TRIPLES, jnp.int32)[:, :, None], (4, 3, n))
+        pm_k, be_k = eval_batch(cand)
+        oks = [_admissible(pm_k[i], be_k[i], count, cfg, es, floors)
+               for i in range(4)]
+        errs = [be_k[i] for i in range(4)]
+    else:
+        oks, errs = [], []
+        for t in GUESS_TRIPLES:
+            shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, n))
+            pix_max, block_err = eval_fn(shifts)
+            oks.append(_admissible(pix_max, block_err, count, cfg, es, floors))
+            errs.append(block_err)
     t456, t588, t468, t245 = [jnp.asarray(t, jnp.int32)[:, None] for t in GUESS_TRIPLES]
     zero = jnp.zeros((3, 1), jnp.int32)
     hi = jnp.where(oks[1], t588, jnp.where(oks[2], t468, t456))
@@ -177,7 +228,8 @@ def guess_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
     return shifts, err
 
 
-def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None):
+def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None,
+                eval_batch=None):
     """Additive-model ranking over a boxed lattice + exact top-K verify.
 
     Stage 1: 27 exact evaluations -- each axis alone at shifts 0..8 (other
@@ -191,20 +243,30 @@ def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None)
     """
     k = cfg.ladder_k
 
-    # Stage 1: per-axis sweeps.
+    # Stage 1: per-axis sweeps (one batched evaluation when available).
     pix_axis = []
     blk_axis = []
-    for axis in range(3):
-        pix_s, blk_s = [], []
-        for s in range(9):
-            t = [0, 0, 0]
-            t[axis] = s
-            shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, n))
-            pm, be = eval_fn(shifts)
-            pix_s.append(pm)
-            blk_s.append(be)
-        pix_axis.append(jnp.stack(pix_s))  # (9, N)
-        blk_axis.append(jnp.stack(blk_s))
+    if eval_batch is not None:
+        sweep = np.zeros((27, 3), np.int32)
+        for axis in range(3):
+            sweep[axis * 9:(axis + 1) * 9, axis] = np.arange(9)
+        pm27, be27 = eval_batch(
+            jnp.broadcast_to(jnp.asarray(sweep)[:, :, None], (27, 3, n)))
+        for axis in range(3):
+            pix_axis.append(pm27[axis * 9:(axis + 1) * 9])  # (9, N)
+            blk_axis.append(be27[axis * 9:(axis + 1) * 9])
+    else:
+        for axis in range(3):
+            pix_s, blk_s = [], []
+            for s in range(9):
+                t = [0, 0, 0]
+                t[axis] = s
+                shifts = jnp.broadcast_to(jnp.asarray(t, jnp.int32)[:, None], (3, n))
+                pm, be = eval_fn(shifts)
+                pix_s.append(pm)
+                blk_s.append(be)
+            pix_axis.append(jnp.stack(pix_s))  # (9, N)
+            blk_axis.append(jnp.stack(blk_s))
     err0 = blk_axis[0][0]                  # error at (0,0,0)
     pix0 = pix_axis[0][0]
     d_blk = [b - b[0][None] for b in blk_axis]   # (9, N) deltas
@@ -263,7 +325,8 @@ def ladder_core(eval_fn, count, cfg: EncodeConfig, es: int, n: int, floors=None)
     cand = jnp.stack(
         [jnp.maximum(base[ax][None] - o[ax], 0) for ax in range(3)], axis=1
     ).astype(jnp.int32)                                         # (K, 3, N)
-    return _scan_candidates_core(eval_fn, count, cfg, es, cand, floors)
+    return _scan_candidates_core(eval_fn, count, cfg, es, cand, floors,
+                                 eval_batch=eval_batch)
 
 
 def _block_eval_fn(px, mask_i, f8, d, channels):

@@ -30,11 +30,13 @@ from .fit import Decomposition, _fast_round
 
 # Block-error accumulation over a segment is pre-scaled by this shift so the
 # int32 sum holds the worst case (max per-pixel weighted error 780300 x
-# SEG_CAP regions x 4096 px >> 8 = 1.6e9 < 2^31).
+# SEG_CAP x 64 px >> 8 = 5.0e7 < 2^31).
 SEG_ERR_SHIFT = 8
-# Maximum blocks per segment (run length cap; keeps the error sums bounded
-# and region headers addressable).
-SEG_CAP = 128
+# Maximum members per segment: bounds the doubling-scan step count
+# (log2(SEG_CAP) passes per reduction) and keeps the error sums in range.
+# Raised from 128 in round 3 so multi-level runs (a level-2 square is
+# already 16 level-0 blocks) can still span many squares.
+SEG_CAP = 256
 
 
 def seg_sum(x: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int) -> jnp.ndarray:
@@ -297,7 +299,8 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
     use_kernel = (jax.default_backend() != "cpu"
                   and px.shape[1] <= 256 and es_blk == 0)
     if use_kernel:
-        from ..pallas_kernels.encode_fixed import crush_eval_rows_pallas
+        from ..pallas_kernels.encode_fixed import (
+            crush_eval_rows_pallas, crush_eval_rows_k_pallas)
 
         packed = px[0] + (px[1] << 8)
         for c in range(2, channels):
@@ -318,6 +321,25 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
         be_s = s_sum(be >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
         return pm_s, be_s
 
+    def eval_batch(cands):
+        """All K candidates at once: ONE batched kernel launch + ONE K-wide
+        pair of segment reductions, vs K rounds of each -- the per-candidate
+        doubling-scan chains were ~half the merged encode's device time
+        (tools/profiling/fused_stages.py). Kernel path only: on CPU the
+        unrolled K-way graphs blow up XLA:CPU's LLVM compile (observed
+        segfaults mid-suite) while the lax.scan path stays compact; core
+        selection parity is covered by tests/test_crush_cores.py and the
+        real-device gate (tools/tpu_parity_gate.py)."""
+        shifts_blk = to_blk(cands)                       # (K, 3, NB)
+        pm_k, be_k = crush_eval_rows_k_pallas(
+            packed, mask_i, f8_packed, eps, shifts_blk, channels
+        )
+        pm_s = s_max(pm_k, seg_id, num_segments, 0)
+        be_s = s_sum(be_k >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
+        return pm_s, be_s
+
+    eval_batch = eval_batch if use_kernel else None
+
     nb = px.shape[-1]
     if not cfg.crush_bits:
         return jnp.zeros((3, num_segments), jnp.int32), jnp.zeros((num_segments,), jnp.int32)
@@ -325,7 +347,10 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
     if cfg.num_factors < 3:
         floors = eval_fn(jnp.zeros((3, num_segments), jnp.int32))
     if cfg.crush_mode == "exhaustive":
-        return exhaustive_core(eval_fn, count_seg, cfg, SEG_ERR_SHIFT, num_segments, floors)
+        return exhaustive_core(eval_fn, count_seg, cfg, SEG_ERR_SHIFT,
+                               num_segments, floors, eval_batch=eval_batch)
     if cfg.crush_mode == "guess":
-        return guess_core(eval_fn, count_seg, cfg, SEG_ERR_SHIFT, num_segments, floors)
-    return ladder_core(eval_fn, count_seg, cfg, SEG_ERR_SHIFT, num_segments, floors)
+        return guess_core(eval_fn, count_seg, cfg, SEG_ERR_SHIFT,
+                          num_segments, floors, eval_batch=eval_batch)
+    return ladder_core(eval_fn, count_seg, cfg, SEG_ERR_SHIFT,
+                       num_segments, floors, eval_batch=eval_batch)

@@ -261,9 +261,11 @@ def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
     fc = _project_row([p - e - o for p, e, o in zip(px, eb, off_c_f)], nc)
 
     def q8(f):
-        # round-to-nearest like the jnp path's rint; half-up vs half-even
-        # is below the u8 quantization noise
-        return jnp.clip(jnp.floor(f * 255.0 + 0.5), 0.0, 255.0).astype(jnp.int32)
+        # ties-to-even like the jnp/golden rint (the codec spec follows the
+        # reference's SSE path _mm_cvtps_epi32, src/limg_factorization.h:126);
+        # floor(x+0.5) here cost exactly one pixel of compiled-kernel parity
+        # on the TPU gate (a factor landing on .5)
+        return jnp.clip(jnp.rint(f * 255.0), 0.0, 255.0).astype(jnp.int32)
 
     f8 = [q8(fa), q8(fb), q8(fc)]
     endpoints = (ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag)
@@ -271,13 +273,14 @@ def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
 
 
 def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
-                         params_ref, red: _Reducer):
+                         params_ref, red: _Reducer, emit_pixel_err: bool = False):
     """Ladder crush + dither + final integer decode.
 
     params_ref (scalar-prefetch, int32[3]): [dither seed,
     maxPixelBitCrushError, maxBlockBitCrushError] -- the thresholds are
     traced so changing error_factor does not recompile the kernel.
-    Returns (shifts [3 x (1,T)], q [3 x (P,T)], dec [ch x (P,T)]).
+    Returns (shifts [3 x (1,T)], q [3 x (P,T)], dec [ch x (P,T)], dist);
+    with ``emit_pixel_err`` also the masked per-pixel weighted error (P,T).
     """
     channels = spec.channels
     max_pix = params_ref[1]
@@ -602,7 +605,10 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         err = err + d2[2] * jnp.where(red_lo, 3.0, 2.0)
     if channels == 4:
         err = err + d2[3] * 3.0
-    dist = red.sum(err * mask_i.astype(jnp.float32))
+    err_masked = err * mask_i.astype(jnp.float32)
+    dist = red.sum(err_masked)
+    if emit_pixel_err:
+        return shifts, q, dec, dist, err_masked
     return shifts, q, dec, dist
 
 
@@ -942,6 +948,60 @@ def crush_eval_rows_pallas(packed_px, mask_i, f8_packed, eps, shifts,
         interpret=interpret or jax.default_backend() == "cpu",
     )(params, packed_px, mask_i, f8_packed, shifts, *eps)
     return pm[0, :nb], be[0, :nb]
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "interpret"))
+def crush_eval_rows_k_pallas(packed_px, mask_i, f8_packed, eps, shifts_k,
+                             channels: int, interpret: bool = False):
+    """Batched crush evaluation: K candidate shift triples in ONE launch.
+
+    Same per-pixel math as crush_eval_rows_pallas, grid (K, NB/treg): the
+    pixel slabs are revisited per candidate while only the (3, treg) shift
+    rows and the (1, treg) outputs change with k. Replaces K sequential
+    kernel+segment-reduction rounds in the segment crush search, whose
+    per-candidate doubling scans were ~half the merged encode's device time.
+    shifts_k: (K, 3, NB) i32 -> (pm (K, NB), be (K, NB)) i32.
+    """
+    p, nb = packed_px.shape
+    k = shifts_k.shape[0]
+    treg = 256 if p <= 64 else 128
+    pad = (-nb) % treg
+    if pad:
+        padder = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        packed_px, mask_i, f8_packed, shifts_k = map(
+            padder, (packed_px, mask_i, f8_packed, shifts_k))
+        eps = [padder(e) for e in eps]
+    nbp = nb + pad
+    grid = nbp // treg
+    # Mosaic requires the last-two block dims to divide 8/128 OR equal the
+    # array dims; candidates therefore concatenate along the LANE axis
+    # ((3, K*NB), candidate kk in columns [kk*nbp, (kk+1)*nbp)) so the
+    # (3, treg)/(1, treg) blocks keep their dim-equality exemption and the
+    # kernel body is byte-for-byte the unbatched one.
+    shifts_rows = shifts_k.transpose(1, 0, 2).reshape(3, k * nbp)
+
+    def fixed(rows):
+        return pl.BlockSpec((rows, treg), lambda kk, i, *_: (0, i))
+
+    def by_k(rows):
+        return pl.BlockSpec((rows, treg), lambda kk, i, *_: (0, kk * grid + i))
+
+    params = jnp.zeros((1,), jnp.int32)  # unused; uniform prefetch signature
+    pm, be = pl.pallas_call(
+        _make_eval_kernel(channels),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(k, grid),
+            in_specs=[fixed(p), fixed(p), fixed(p), by_k(3)]
+                     + [fixed(channels)] * 6,
+            out_specs=(by_k(1), by_k(1)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, k * nbp), jnp.int32),
+            jax.ShapeDtypeStruct((1, k * nbp), jnp.int32),
+        ),
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(params, packed_px, mask_i, f8_packed, shifts_rows, *eps)
+    return pm.reshape(k, nbp)[:, :nb], be.reshape(k, nbp)[:, :nb]
 
 
 def pack_channels(px_u8: jnp.ndarray) -> jnp.ndarray:

@@ -46,7 +46,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import EncodeConfig
+from ..config import EncodeConfig, static_block_bits
 from .encode_fixed import (
     KernelSpec,
     _apply_num_factors,
@@ -170,26 +170,194 @@ class _OwnerReducer:
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _make_fit_levels_kernel(spec: KernelSpec, levels: int):
+# reason bitmask bits emitted by the in-kernel match (per merge decision);
+# names mirror ops.match.match_decomps' stats dict
+MATCH_REASON_BITS = (
+    ("fast_accept", 1),
+    ("avg_diff_reject", 2),
+    ("range_reject", 4),
+    ("ratio_reject", 8),
+    ("probe_reject", 16),
+)
+
+
+def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
+    """In-kernel block-similarity predicate on lane rows.
+
+    Port of ops.match.match_decomps (reference:
+    limg_encode_3d_matches_sse2, src/limg.cpp:1137-1275) operating on
+    (ch, T) VMEM rows; the 27 cross-projected probes batch as (27, T)
+    arrays. Running the predicate INSIDE the fit kernel removes ~8 ms of
+    per-4K jnp glue (hundreds of 20 us dispatches measured by
+    tools/profiling/xplane_top.py). Returns (match (1, T) bool,
+    reason (1, T) i32 bitmask of MATCH_REASON_BITS).
+    """
+    from ..ops.match import (
+        _COLOR_DIFF_FACTORS, _MAX_RATIO, _MAX_FACTOR_SUM,
+    )
+
+    w = _COLOR_DIFF_FACTORS
+
+    def normals(eps):
+        ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = eps
+        na = [(ia_max[c:c + 1] - ia_min[c:c + 1]).astype(jnp.float32)
+              for c in range(channels)]
+        nb = [(ib_mag[c:c + 1] - ib_off[c:c + 1]).astype(jnp.float32)
+              for c in range(channels)]
+        nc = [(ic_mag[c:c + 1] - ic_off[c:c + 1]).astype(jnp.float32)
+              for c in range(channels)]
+        len_sq = [
+            3.0 + sum(n[c] * n[c] * w[c] for c in range(channels))
+            for n in (na, nb, nc)
+        ]
+        return (na, nb, nc), len_sq
+
+    def inv_sq(n):
+        s = sum(x * x for x in n)
+        return jnp.where(s > 0, 1.0 / jnp.maximum(s, 1e-38), 0.0)
+
+    def probe_factors(colors, eps, nrm):
+        na_, nb_, nc_ = nrm
+        ila, ilb, ilc = inv_sq(na_), inv_sq(nb_), inv_sq(nc_)
+        min_a = [eps[0][c:c + 1].astype(jnp.float32) for c in range(channels)]
+        off_b = [eps[2][c:c + 1].astype(jnp.float32) for c in range(channels)]
+        off_c = [eps[4][c:c + 1].astype(jnp.float32) for c in range(channels)]
+        v = [colors[c] - min_a[c] for c in range(channels)]
+        fa = sum(v[c] * na_[c] for c in range(channels)) * ila     # (27, T)
+        est = [min_a[c] + fa * na_[c] for c in range(channels)]
+        fb = sum((colors[c] - est[c] - off_b[c]) * nb_[c]
+                 for c in range(channels)) * ilb
+        est = [est[c] + fb * nb_[c] for c in range(channels)]
+        fc = sum((colors[c] - est[c] - off_c[c]) * nc_[c]
+                 for c in range(channels)) * ilc
+        return fa, fb, fc
+
+    na_, lsq_a = normals(eps_a)
+    nb_, lsq_b = normals(eps_b)
+    avg_diff_sq = sum(
+        (avg_a[c:c + 1] - avg_b[c:c + 1]) ** 2 * w[c] for c in range(channels)
+    )
+    sum_a = lsq_a[0] + lsq_a[1] + lsq_a[2]
+    sum_b = lsq_b[0] + lsq_b[1] + lsq_b[2]
+    max_avg = 16.0 * 3.0 * channels
+    max_range = 200.0 * 3.0 * channels
+    range_ok = (sum_a < max_range) & (sum_b < max_range)
+    fast_accept = (avg_diff_sq < max_avg) & range_ok
+
+    ratio = (sum_a + 1.0) / (sum_b + 1.0)
+    ratio_ok = (ratio <= _MAX_RATIO) & (ratio >= 1.0 / _MAX_RATIO)
+
+    # (27, 1) half-step probe weights built from iota (Pallas kernels cannot
+    # capture array constants); base-3 digits match ops.match._probe_weights
+    idx = lax.broadcasted_iota(jnp.int32, (27, 1), 0)
+    pw_col = [((idx // (3 ** k)) % 3).astype(jnp.float32) * 0.5
+              for k in range(3)]
+    colors_from_b = [
+        pw_col[0] * nb_[0][c] + pw_col[1] * nb_[1][c] + pw_col[2] * nb_[2][c]
+        for c in range(channels)
+    ]
+    colors_from_a = [
+        pw_col[0] * na_[0][c] + pw_col[1] * na_[1][c] + pw_col[2] * na_[2][c]
+        for c in range(channels)
+    ]
+    fa, fb, fc = probe_factors(colors_from_b, eps_a, na_)
+    ga, gb, gc = probe_factors(colors_from_a, eps_b, nb_)
+    inv_a = [1.0 / l for l in lsq_a]
+    inv_b = [1.0 / l for l in lsq_b]
+    dev = (
+        jnp.abs(fa) * inv_a[0]
+        + jnp.abs(0.5 - fb) * 2.0 * inv_a[1]
+        + jnp.abs(0.5 - fc) * 2.0 * inv_a[2]
+        + jnp.abs(ga) * inv_b[0]
+        + jnp.abs(0.5 - gb) * 2.0 * inv_b[1]
+        + jnp.abs(0.5 - gc) * 2.0 * inv_b[2]
+    )                                                              # (27, T)
+    probe_ok = jnp.mean(dev, axis=0, keepdims=True) < _MAX_FACTOR_SUM
+
+    match = fast_accept | (ratio_ok & probe_ok)
+    reason = (
+        fast_accept * 1
+        + (~fast_accept & (avg_diff_sq >= max_avg)) * 2
+        + (~fast_accept & ~range_ok) * 4
+        + (~fast_accept & ~ratio_ok) * 8
+        + (~fast_accept & ratio_ok & ~probe_ok) * 16
+    ).astype(jnp.int32)
+    return match, reason
+
+
+def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
+                            emit_match: bool = False):
     channels = spec.channels
 
     def kernel(params_ref, packed_ref, mask_ref, *out_refs):
         packed = packed_ref[...]
         mask_i = mask_ref[...]
+        lanes = packed.shape[-1]
+        lane = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
         refs = list(out_refs)
+        owner = jnp.zeros((1, lanes), jnp.int32)
+        alive = jnp.ones((1, lanes), jnp.int32)
+        reason_rows = []
+        prev = None
         for lvl in range(levels):
-            red = _GroupReducer(4 ** lvl, packed.shape[-1])
+            red = _GroupReducer(4 ** lvl, lanes)
             f8, endpoints, count, avg = _fit_and_factors(
                 packed, mask_i, channels, red
             )
             endpoints = _apply_num_factors(endpoints, spec.num_factors)
+            eps_arr = tuple(jnp.concatenate(rows, axis=0)
+                            for rows in endpoints)             # 6 x (ch, T)
+            avg_arr = jnp.concatenate(avg, axis=0)             # (ch, T) f32
             f8_ref, *rest = refs[:9]
             f8_ref[...] = f8[0] + (f8[1] << 8) + (f8[2] << 16)
-            for ref, rows in zip(rest[:6], endpoints):
-                ref[...] = jnp.concatenate(rows, axis=0)       # (ch, T)
-            rest[6][...] = jnp.concatenate(avg, axis=0)        # (ch, T) f32
+            for ref, arr in zip(rest[:6], eps_arr):
+                ref[...] = arr
+            rest[6][...] = avg_arr
             rest[7][...] = count                               # (1, T) i32
             refs = refs[9:]
+
+            if emit_match and lvl >= 1:
+                # merge decision for this level's squares: each lane compares
+                # its own level-(lvl-1) region against the group's FIRST
+                # child, broadcast up by a butterfly; empty (grid padding)
+                # children auto-match exactly like the jnp driver did
+                child, group = 4 ** (lvl - 1), 4 ** lvl
+                p_eps, p_avg, p_count = prev
+
+                def b0(row, child=child, group=group):
+                    d = child
+                    while d < group:
+                        row = jnp.where(
+                            (lane & d) != 0,
+                            pltpu.roll(row, shift=d, axis=1), row,
+                        )
+                        d *= 2
+                    return row
+
+                c0_eps = tuple(b0(e) for e in p_eps)
+                c0_avg = b0(p_avg)
+                c0_count = b0(p_count)
+                m, reason = _match_rows(p_avg, p_eps, c0_avg, c0_eps, channels)
+                is_child0 = (lane & (group - child)) == 0
+                ok = (is_child0 | m | (p_count <= 0) | (c0_count <= 0))
+                acc = alive & ok.astype(jnp.int32)
+                d = 1
+                while d < group:
+                    acc = _butterfly(acc, d, jnp.bitwise_and, lanes, lane)
+                    d *= 2
+                alive = acc
+                owner = jnp.where(alive > 0, lvl, owner)
+                racc = jnp.where(is_child0, 0, reason)
+                d = 1
+                while d < group:
+                    racc = _butterfly(racc, d, jnp.bitwise_or, lanes, lane)
+                    d *= 2
+                reason_rows.append(racc)
+            prev = (eps_arr, avg_arr, count)
+        if emit_match:
+            refs[0][...] = owner
+            for i, rr in enumerate(reason_rows):
+                refs[1 + i][...] = rr
 
     return kernel
 
@@ -197,27 +365,51 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int):
 def _make_owner_crush_kernel(spec: KernelSpec, levels: int):
     channels = spec.channels
 
-    def kernel(params_ref, packed_ref, mask_ref, owner_ref, f8_ref, *rest):
-        ep_in = rest[:6]
-        shifts_ref, q_ref, dec_ref, dist_ref = rest[6:]
+    def kernel(params_ref, packed_ref, mask_ref, owner_ref, *rest):
+        # per-level factor/endpoint rows; the owner select happens HERE, on
+        # VMEM tiles (free VPU selects), instead of as a separate jnp pass
+        # that streams the full planes through HBM (measured ~7 ms per 4K)
+        f8_in = rest[:levels]
+        ep_in = rest[levels:levels + 6 * levels]   # level-major: 6 per level
+        (shifts_ref, q_ref, dec_ref, dist_ref, distb_ref, bpp_ref,
+         *ep_out) = rest[levels + 6 * levels:]
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         owner = owner_ref[...]
         red = _OwnerReducer(owner, levels)
-        f8_packed = f8_ref[...]
+        f8_packed = f8_in[0][...]
+        eps_rows = [ep_in[j][...] for j in range(6)]
+        for lvl in range(1, levels):
+            sel = owner == lvl
+            f8_packed = jnp.where(sel, f8_in[lvl][...], f8_packed)
+            eps_rows = [jnp.where(sel, ep_in[6 * lvl + j][...], e)
+                        for j, e in enumerate(eps_rows)]
         f8 = [(f8_packed >> (8 * k)) & 0xFF for k in range(3)]
         endpoints = tuple(
-            [ref[c:c + 1, :] for c in range(channels)]
-            for ref in (e[...] for e in ep_in)
+            [e[c:c + 1, :] for c in range(channels)] for e in eps_rows
         )
         count = red.sum(mask_i)
-        shifts, q, dec, dist = _crush_dither_decode(
-            packed, mask_i, f8, endpoints, count, spec, params_ref, red
+        shifts, q, dec, dist, err = _crush_dither_decode(
+            packed, mask_i, f8, endpoints, count, spec, params_ref, red,
+            emit_pixel_err=True,
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
         q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
         dec_ref[...] = _pack_dec(dec, channels)
         dist_ref[...] = dist
+        # per-BLOCK stats rows (vs the region-broadcast dist): each lane's
+        # own 64-pixel error and its region-amortized bpp estimate -- this
+        # is what lets the driver compute all stats as flat level-0 sums
+        distb_ref[...] = jnp.sum(err, axis=0, keepdims=True)
+        cnt_blk = jnp.sum(mask_i, axis=0, keepdims=True)
+        s_eff = [jnp.minimum(s, 8) for s in shifts]
+        fac_bits = sum((8 - s) * count for s in s_eff)
+        block_bits = static_block_bits(channels) + fac_bits
+        bpp_ref[...] = jnp.minimum(
+            0xFF, (block_bits + count // 2) // jnp.maximum(count, 1)
+        ) * (cnt_blk > 0)
+        for ref, e in zip(ep_out, eps_rows):
+            ref[...] = e
 
     return kernel
 
@@ -237,9 +429,11 @@ def _pad_lanes(x, nbp):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("kspec", "levels", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("kspec", "levels", "interpret",
+                                    "emit_match"))
 def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
-                      levels: int, interpret: bool):
+                      levels: int, interpret: bool, emit_match: bool = False):
     """All-levels fit over Morton-ordered blocks.
 
     packed_px: (64, NBP) int32 Morton-ordered packed pixels (NBP a multiple
@@ -247,6 +441,12 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
     dicts {f8 (64, NBP) i32, endpoints tuple of 6 (ch, NBP) i32, avg
     (ch, NBP) f32, count (1, NBP) i32}; region rows are broadcast across
     their member lanes.
+
+    With ``emit_match`` the kernel ALSO runs the merge decisions (in-kernel
+    _match_rows + alive-chain butterflies) and the returned tuple is
+    (fits, owner (1, NBP) i32, reasons list of levels-1 (1, NBP) i32
+    bitmask rows of MATCH_REASON_BITS, group-ORed and broadcast across each
+    parent's lanes).
     """
     p, nb = packed_px.shape
     packed_px = _pad_lanes(packed_px, nb)
@@ -265,9 +465,13 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
         out_specs += [_row_spec(ch)]
         out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)]
         out_specs += [_row_spec(1)]
+    if emit_match:
+        n_extra = levels  # owner + (levels-1) reason rows
+        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)] * n_extra
+        out_specs += [_row_spec(1)] * n_extra
 
     outs = pl.pallas_call(
-        _make_fit_levels_kernel(kspec, levels),
+        _make_fit_levels_kernel(kspec, levels, emit_match),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
             in_specs=[_row_spec(p), _row_spec(p)],
@@ -286,24 +490,33 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
             avg=rest[6][:, :nb],
             count=rest[7][:, :nb],
         ))
+    if emit_match:
+        extra = outs[9 * levels:]
+        owner = extra[0][:, :nb]
+        reasons = [r[:, :nb] for r in extra[1:]]
+        return result, owner, reasons
     return result
 
 
 @functools.partial(jax.jit, static_argnames=("kspec", "levels", "interpret"))
-def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
+def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
                        kspec: KernelSpec, levels: int, interpret: bool):
     """Crush + dither + decode once per pixel at each block's owner level.
 
-    owner: (1, NBP) i32 in [0, levels); f8_sel / eps_sel: the owner region's
-    packed factors / endpoint rows per lane. Returns (shifts (3, NBP),
-    q_packed, dec_packed (64, NBP), dist (1, NBP) broadcast per region).
+    owner: (1, NBP) i32 in [0, levels); f8_levels: per-level packed factor
+    planes [(P, NBP)] x levels; eps_levels: per-level 6-tuples of (ch, NBP)
+    endpoint rows. The owner select runs inside the kernel. Returns
+    (shifts (3, NBP), q_packed, dec_packed (P, NBP), dist (1, NBP) broadcast
+    per region, dist_blk (1, NBP) per-BLOCK error, bpp_blk (1, NBP)
+    region-amortized bpp, plus the 6 owner-selected endpoint rows).
     """
     p, nb = packed_px.shape
     packed_px = _pad_lanes(packed_px, nb)
     mask_i = _pad_lanes(mask_i, nb)
     owner = _pad_lanes(owner, nb)
-    f8_sel = _pad_lanes(f8_sel, nb)
-    eps_sel = [_pad_lanes(e, nb) for e in eps_sel]
+    f8_levels = [_pad_lanes(f, nb) for f in f8_levels]
+    eps_flat = [_pad_lanes(e, nb) for lvl in range(levels)
+                for e in eps_levels[lvl]]
     nbp = packed_px.shape[-1]
     grid = nbp // _T_LANES
     ch = kspec.channels
@@ -312,16 +525,22 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
         _make_owner_crush_kernel(kspec, levels),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
-            in_specs=[_row_spec(p), _row_spec(p), _row_spec(1), _row_spec(p)]
-            + [_row_spec(ch)] * 6,
-            out_specs=(_row_spec(3), _row_spec(p), _row_spec(p), _row_spec(1)),
+            in_specs=[_row_spec(p), _row_spec(p), _row_spec(1)]
+            + [_row_spec(p)] * levels + [_row_spec(ch)] * (6 * levels),
+            out_specs=(_row_spec(3), _row_spec(p), _row_spec(p), _row_spec(1),
+                       _row_spec(1), _row_spec(1))
+            + tuple([_row_spec(ch)] * 6),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, nbp), jnp.int32),
             jax.ShapeDtypeStruct((p, nbp), jnp.int32),
             jax.ShapeDtypeStruct((p, nbp), jnp.int32),
             jax.ShapeDtypeStruct((1, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((1, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((1, nbp), jnp.int32),
+        ) + tuple(
+            jax.ShapeDtypeStruct((ch, nbp), jnp.int32) for _ in range(6)
         ),
         interpret=interpret,
-    )(params, packed_px, mask_i, owner, f8_sel, *eps_sel)
+    )(params, packed_px, mask_i, owner, *f8_levels, *eps_flat)
     return tuple(o[:, :nb] for o in outs)

@@ -130,6 +130,32 @@ def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key):
     )
 
 
+def _bcast0(v, grid_L, grid0, lvl: int):
+    """Per-level-L values (..., NB_L) -> (..., NB0), broadcast to each
+    level-0 block of the square (repeat + crop; no gathers)."""
+    s = 1 << lvl
+    t = v.reshape(*v.shape[:-1], grid_L.blocks_y, grid_L.blocks_x)
+    t = jnp.repeat(jnp.repeat(t, s, axis=-2), s, axis=-1)
+    t = t[..., : grid0.blocks_y, : grid0.blocks_x]
+    return t.reshape(*v.shape[:-1], grid0.num_blocks)
+
+
+def _q_level_to_block0(q, grid_L, grid0, lvl: int):
+    """(P_L, NB_L) per-level pixel plane -> (64, NB0) level-0 block layout.
+
+    Pure reshape/transpose (pixel p of a level-L block splits as
+    (yb, iy, xb, ix) with the 8x8 sub-block (yb, xb) becoming a level-0
+    block); used to express a dense level's factors at level-0 granularity
+    for the LTP1 serializer."""
+    s = 1 << lvl
+    by_l, bx_l = grid_L.blocks_y, grid_L.blocks_x
+    t = q.reshape(s, 8, s, 8, by_l, bx_l)          # (yb, iy, xb, ix, BY, BX)
+    t = t.transpose(1, 3, 4, 0, 5, 2)              # (iy, ix, BY, yb, BX, xb)
+    t = t.reshape(64, by_l * s, bx_l * s)
+    t = t[:, : grid0.blocks_y, : grid0.blocks_x]
+    return t.reshape(64, grid0.num_blocks)
+
+
 def _pack_dec_jnp(decoded_blocks, channels):
     """(ch, P, NB) int -> packed u32 word plane (P, NB) i32 (alpha 0xFF)."""
     packed = decoded_blocks[0].astype(jnp.int32)
@@ -227,7 +253,8 @@ def _slice_decomp_2d(d: Decomposition, gy: int, gx: int, sl_y, sl_x) -> Decompos
     return Decomposition(*(f(v) for v in d))
 
 
-def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
+def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
+               max_members: int | None = None):
     """Coalesce owned grid cells into horizontal runs (plus vertical runs of
     horizontal singletons) of matching neighbors.
 
@@ -237,11 +264,21 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
     similarity predicate (ops/match.py) accepts the pair, and resolve run
     ids with a prefix cummax -- one parallel pass per direction.
 
-    ``owned``: (NB,) bool. Returns (seg_id (NB,) i32 -- the run's first
-    block's flat index; run_len (NB,) i32 per block).
+    ``owned``: (NB,) bool. ``max_members`` caps cells per run (default
+    SEG_CAP; multi-level callers pass SEG_CAP >> 2L so a run of level-L
+    squares never exceeds SEG_CAP level-0 blocks). Returns (seg_id (NB,)
+    i32 -- the run's first block's flat index; run_len (NB,) i32 per cell).
     """
     from jax import lax
     from .ops.segments import SEG_CAP
+
+    if max_members is None:
+        max_members = SEG_CAP
+    max_members = max(2, max_members)
+    # rectangle geometry under the member budget: width x rows <= cap,
+    # roughly square so small budgets (multi-level callers) can still stack
+    rw_cap = min(16, max(2, int(max_members ** 0.5)))
+    rh_cap = max(1, max_members // rw_cap)
 
     gy, gx = grid.blocks_y, grid.blocks_x
     nb = gy * gx
@@ -270,7 +307,7 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
             m_left & own2[:, 1:] & own2[:, :-1]
         )
         # cap run length (segment error-accumulator headroom)
-        link_left = link_left & (jnp.arange(gx)[None, :] % SEG_CAP != 0)
+        link_left = link_left & (jnp.arange(gx)[None, :] % max_members != 0)
         ids = jnp.where(~link_left, idx2, -1)
         seg_h2 = lax.cummax(ids, axis=1)
         len_h = axis_run_len(seg_h2, 1).reshape(-1)
@@ -289,7 +326,7 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
         link_up = jnp.zeros((gy, gx), bool).at[1:, :].set(
             m_up & elig2[1:, :] & elig2[:-1, :]
         )
-        link_up = link_up & (jnp.arange(gy)[:, None] % SEG_CAP != 0)
+        link_up = link_up & (jnp.arange(gy)[:, None] % max_members != 0)
         ids_v = jnp.where(~link_up, idx2, -1)
         seg_v2 = lax.cummax(ids_v, axis=0)
         # vertical runs are contiguous along columns: scan the transpose.
@@ -310,11 +347,10 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
     # buffer groups members by SORTING on segment id (not by geometry),
     # stacking rows costs nothing downstream. A run links to the run above
     # when the spans align exactly and every vertical block pair matches.
-    # Width is capped at 8 and row chains break every 16 rows so a
-    # rectangle never exceeds SEG_CAP = 128 members.
+    # Width x rows is bounded by max_members (rw_cap x rh_cap).
     if gy > 1 and gx > 1:
         len_h2 = len_h.reshape(gy, gx)
-        is_hrun = own2 & (len_h2 >= 2) & (len_h2 <= 8)
+        is_hrun = own2 & (len_h2 >= 2) & (len_h2 <= rw_cap)
         # AND of the per-block vertical matches across the run's span,
         # broadcast to every member by the contiguous scan (min == AND)
         from .ops.segments import seg_min_all
@@ -331,7 +367,7 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
         link_rect = (
             same_span & (vand > 0) & is_hrun
             & jnp.concatenate([jnp.zeros((1, gx), bool), is_hrun[:-1]], axis=0)
-            & (jnp.arange(gy)[:, None] % 16 != 0)
+            & (jnp.arange(gy)[:, None] % rh_cap != 0)
         )
         # top row of each rectangle, per cell (uniform across a run's span)
         yy = jnp.broadcast_to(jnp.arange(gy, dtype=jnp.int32)[:, None], (gy, gx))
@@ -357,7 +393,8 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int):
 def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
                          cfg: EncodeConfig, key, bsz: int,
                          merge_policy: str, rd_lambda: float,
-                         cap_frac: int = 4, header_bits: int | None = None):
+                         cap_frac: int = 4, header_bits: int | None = None,
+                         packed_blk=None, mask=None):
     """Refit + re-encode coalesced runs at one level, updating ``lv``.
 
     ``header_bits`` overrides the per-region header cost used by the
@@ -370,6 +407,35 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     nothing) and encoded with segment reductions (ops/segments.py). Returns
     the updated level dict plus per-block (applied, region_id) arrays.
     """
+    ch = cfg.channels
+    if packed_blk is None:
+        # callers that already hold the blockified packed planes pass them in
+        # (the relayout costs ~1.2 ms per 4K)
+        if image.ndim == 2 or image.shape[2] == 4:
+            packed_blk, mask, _ = layout.blockify_packed(image, bsz)
+        else:
+            px_full, mask, _ = layout.blockify(image, bsz)
+            from .pallas_kernels.encode_fixed import pack_channels
+            packed_blk = pack_channels(px_full)
+    nb = packed_blk.shape[-1]
+    d_lvl = lv["decomp"]
+    seg_id, run_len = build_runs(d_lvl, owned, grid, ch)
+    is_run = owned & (run_len >= 2)
+    return coalesce_segments(
+        packed_blk, mask, seg_id, is_run, lv, cfg, key, merge_policy,
+        rd_lambda, cap_frac=cap_frac, header_bits=header_bits,
+    )
+
+
+def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
+                      cfg: EncodeConfig, key, merge_policy: str,
+                      rd_lambda, cap_frac: int = 4,
+                      header_bits: int | None = None):
+    """Segment refit/crush engine shared by the per-level and the unified
+    multi-level coalesce: re-encodes the ``is_run`` blocks grouped by
+    ``seg_id`` (each segment's leader flat index) and writes accepted
+    segments back into the ``lv`` planes. Geometry-agnostic -- callers
+    decide what links into a segment (build_runs at any quadtree level)."""
     from jax import lax
     from .ops.segments import (
         fit_segments, find_shifts_segments, seg_sum_all,
@@ -380,16 +446,7 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     from .ops.error import weighted_error
 
     ch = cfg.channels
-    if image.ndim == 2 or image.shape[2] == 4:
-        packed_blk, mask, _ = layout.blockify_packed(image, bsz)
-    else:
-        px_full, mask, _ = layout.blockify(image, bsz)
-        from .pallas_kernels.encode_fixed import pack_channels
-        packed_blk = pack_channels(px_full)
     nb = packed_blk.shape[-1]
-    d_lvl = lv["decomp"]
-    seg_id, run_len = build_runs(d_lvl, owned, grid, ch)
-    is_run = owned & (run_len >= 2)
 
     # -- compact run blocks into a fixed-capacity buffer --------------------
     # Sorting by (is_run, seg_id) makes every segment's members CONTIGUOUS
@@ -402,13 +459,15 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     order = jnp.argsort(sort_key, stable=True)                   # runs first
     sel = order[:cap]                                            # (cap,)
     # batch the per-block 1-D row gathers into one multi-row plane gather
+    # (the f32 dist row rides along bitcast to i32)
     rows_i = jnp.stack([
-        seg_id, run_len, is_run.astype(jnp.int32), lv["bits"],
+        seg_id, is_run.astype(jnp.int32), lv["bits"],
+        lax.bitcast_convert_type(lv["dist"].astype(jnp.float32), jnp.int32),
     ])[:, sel]                                                   # (4, cap)
-    seg_orig, run_len_sel = rows_i[0], rows_i[1]
-    sel_is_run = rows_i[2].astype(bool)
-    old_bits_sel = rows_i[3]
-    old_dist_sel = lv["dist"][sel]   # RD policy only; f32 so not in rows_i
+    seg_orig = rows_i[0]
+    sel_is_run = rows_i[1].astype(bool)
+    old_bits_sel = rows_i[2]
+    old_dist_sel = lax.bitcast_convert_type(rows_i[3], jnp.float32)
     packed_c = packed_blk[:, sel]                                # (P, cap)
     mask_c = mask[:, sel] & sel_is_run[None, :]
     px_c = jnp.stack([(packed_c >> (8 * c)) & 0xFF for c in range(ch)])
@@ -419,9 +478,20 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     )
     seg_c = lax.cummax(jnp.where(is_seg_start, pos, -1))
 
-    # runs split by the capacity boundary (or not selected at all) revert
-    len_mem = seg_sum_all(sel_is_run.astype(jnp.int32), seg_c)
-    ok_c = sel_is_run & (len_mem == run_len_sel)
+    # The capacity boundary cuts a suffix of the sorted run blocks, so at
+    # most ONE segment is split: the one whose members continue at the first
+    # excluded position. It (and everything wholly beyond the boundary)
+    # reverts -- and is counted, never silent.
+    is_start = pos == seg_c
+    if cap < nb:
+        first_excl = order[cap]
+        split_seg = jnp.where(is_run[first_excl], seg_id[first_excl],
+                              jnp.int32(-1))
+    else:
+        split_seg = jnp.int32(-1)
+    ok_c = sel_is_run & (seg_orig != split_seg)
+    n_dropped_runs = (is_start & sel_is_run & (seg_orig == split_seg)).sum()
+    n_overflow_blocks = is_run.sum() - sel_is_run.sum()
 
     # -- segment refit + factor extraction + crush + decode -----------------
     # everything below is per-member: fit/crush broadcast each segment's
@@ -449,7 +519,6 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
     s_eff = jnp.minimum(shifts_blk, 8)
     fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)   # (cap,)
     header = static_block_bits(ch) if header_bits is None else header_bits
-    is_start = pos == seg_c
     bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
     count_mem = seg_sum_all(count_blk, seg_c)
     bits_mem = seg_sum_all(fac_bits_blk, seg_c) + header
@@ -483,42 +552,66 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
         accept = ok_c & (bits_mem <= old_bits_mem)
 
     # -- scatter accepted run results back to the full block arrays ---------
+    # single-row scatters lower to ~1 ms serial loops on TPU; the small
+    # per-block rows (shifts/bits/bpp/endpoints, dist/avg) are combined into
+    # ONE i32 and ONE f32 multi-row scatter, and the two big pixel planes
+    # stay as their own multi-row scatters
     def put(dst, src_c):
         upd = jnp.where(accept, src_c, dst[..., sel])
         return dst.at[..., sel].set(upd)
 
-    q_packed_c = q[0] + (q[1] << 8) + (q[2] << 16)
     dec_packed_c = _pack_dec_jnp(decoded, ch)
     lv = dict(lv)
     lv["dec_packed"] = put(lv["dec_packed"], dec_packed_c)
-    lv["q_packed"] = put(lv["q_packed"], q_packed_c)
-    lv["shifts"] = put(lv["shifts"], shifts_blk)
-    lv["dist"] = put(lv["dist"], dist_blk)
-    lv["bits"] = put(lv["bits"], bits_blk)
-    lv["bpp_block"] = put(lv["bpp_block"], bpp_mem)
+    if lv.get("q_packed") is not None:
+        # perf callers that consume neither planes nor serializer state skip
+        # the crushed-factor plane entirely
+        q_packed_c = q[0] + (q[1] << 8) + (q[2] << 16)
+        lv["q_packed"] = put(lv["q_packed"], q_packed_c)
+    rows_new = put(
+        jnp.concatenate([lv["shifts"], lv["bits"][None],
+                         lv["bpp_block"][None], *lv["decomp"][1:7]], axis=0),
+        jnp.concatenate([shifts_blk, bits_blk[None], bpp_mem[None],
+                         *d_blk[1:7]], axis=0),
+    )
+    lv["shifts"], lv["bits"], lv["bpp_block"] = rows_new[:3], rows_new[3], rows_new[4]
+    eps_new = rows_new[5:]
+    f_new = put(
+        jnp.concatenate([lv["dist"][None], lv["decomp"].avg], axis=0),
+        jnp.concatenate([dist_blk[None], d_blk.avg], axis=0),
+    )
+    lv["dist"] = f_new[0]
     # the run's refit decomposition, so downstream consumers (the LTP1
     # serializer's region headers) see the endpoints the run decodes with
-    lv["decomp"] = Decomposition(*(
-        put(dst, src) for dst, src in zip(lv["decomp"], d_blk)
-    ))
+    lv["decomp"] = Decomposition(
+        f_new[1:1 + ch], *(eps_new[ch * k:ch * (k + 1)] for k in range(6))
+    )
 
     applied = jnp.zeros((nb,), bool).at[sel].set(accept)
     region_id = jnp.where(applied, seg_id, jnp.arange(nb, dtype=jnp.int32))
     n_runs = (is_start & accept).sum()
-    return lv, applied, region_id, n_runs
+    stats = dict(
+        dropped_runs_at_capacity=n_dropped_runs,
+        overflow_run_blocks=n_overflow_blocks,
+        rejected_runs=(is_start & sel_is_run & ~accept).sum() - n_dropped_runs,
+    )
+    return lv, applied, region_id, n_runs, stats
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_levels", "use_pallas", "emit_planes",
-                     "merge_policy", "rd_lambda", "coalesce"),
+                     "merge_policy", "coalesce", "return_state",
+                     "rd_header_bits"),
 )
 def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
                                dither_key: jax.Array, num_levels: int = 3,
                                use_pallas: bool = False, emit_planes: bool = True,
                                merge_policy: str = "match",
                                rd_lambda: float = 0.01,
-                               coalesce: bool = True):
+                               coalesce: bool = True,
+                               return_state: bool = False,
+                               rd_header_bits: int | None = None):
     """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
 
     num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
@@ -536,21 +629,54 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
     decomps = [lv["decomp"] for lv in levels]
 
     if merge_policy == "rd":
-        alive, merge_stats = rd_merge_keep(levels, grids, num_levels, rd_lambda)
+        # rd_header_bits swaps the reference's static estimate for the real
+        # serialized header so the cut optimizes actual file size
+        extra = (rd_header_bits - static_block_bits(ch)
+                 if rd_header_bits is not None else 0.0)
+        alive, merge_stats = rd_merge_keep(levels, grids, num_levels,
+                                           rd_lambda, extra)
     else:
         alive, merge_stats = merge_levels_alive(decomps, grids, ch)
     owner_blocks = _owner_level(alive, grids, num_levels)          # (NB0,)
     owner_px = layout.broadcast_block_plane(owner_blocks, grids[0], BLOCK_SIZE)
 
     run_region_id = None
+    run_applied = jnp.zeros((grids[0].num_blocks,), bool)
     n_runs = jnp.zeros((), jnp.int32)
+    coalesce_stats = {}
+    run_info = [None] * num_levels
     if coalesce:
-        owned0 = owner_blocks == 0
-        ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
-        levels[0], run_applied, run_region_id, n_runs = coalesce_level_bands(
-            image, levels[0], grids[0], owned0, cfg, ckey, BLOCK_SIZE,
-            merge_policy, rd_lambda,
-        )
+        # coalesce EVERY level's leftover regions, not just level 0: on
+        # large flat surfaces the quadtree leaves unmerged level-1/2 squares
+        # whose headers the reference's unbounded grower would amortize
+        # (src/limg.cpp:1390-1496)
+        by0c, bx0c = grids[0].blocks_y, grids[0].blocks_x
+        owner_grid_c = owner_blocks.reshape(by0c, bx0c)
+        run_region_id = jnp.arange(grids[0].num_blocks, dtype=jnp.int32)
+        hdr = rd_header_bits if merge_policy == "rd" else None
+        for lvl in range(num_levels):
+            owned_l = (owner_grid_c[:: 1 << lvl, :: 1 << lvl] == lvl).reshape(-1)
+            ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C + lvl)
+            (levels[lvl], applied_l, rid_l, n_runs_l,
+             stats_l) = coalesce_level_bands(
+                image, levels[lvl], grids[lvl], owned_l, cfg, ckey,
+                BLOCK_SIZE << lvl, merge_policy, rd_lambda, header_bits=hdr,
+            )
+            n_runs = n_runs + n_runs_l
+            coalesce_stats = {
+                k: coalesce_stats.get(k, 0) + v for k, v in stats_l.items()
+            }
+            run_info[lvl] = (applied_l, rid_l)
+            # level-0 membership of the level-L runs (serializer state):
+            # run id becomes the leader square's top-left level-0 block
+            bxl = grids[lvl].blocks_x
+            rid0 = (((rid_l // bxl) << lvl) * bx0c + ((rid_l % bxl) << lvl))
+            sel0 = (owner_blocks == lvl) & _bcast0(applied_l, grids[lvl],
+                                                   grids[0], lvl)
+            run_applied = run_applied | sel0
+            run_region_id = jnp.where(
+                sel0, _bcast0(rid0, grids[lvl], grids[0], lvl), run_region_id
+            )
 
     dec_imgs, fac_imgs, shift_imgs, bpp_imgs = [], [], [], []
     for lvl in range(num_levels):
@@ -620,6 +746,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         total_err=total_err,
         merge_stats=merge_stats,
         n_runs=n_runs,
+        coalesce_stats=coalesce_stats,
     )
     if emit_planes:
         out["factors"] = select(fac_imgs, "hwc")                   # (H, W, 3)
@@ -629,25 +756,59 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
         offset = 0
         for lvl in range(num_levels):
             ids_blk = jnp.arange(grids[lvl].num_blocks, dtype=jnp.int32)
-            if lvl == 0 and run_region_id is not None:
-                ids_blk = run_region_id   # run blocks share their start id
+            if run_info[lvl] is not None:
+                applied_l, rid_l = run_info[lvl]
+                ids_blk = jnp.where(applied_l, rid_l, ids_blk)
             ids = layout.broadcast_block_plane(
                 offset + ids_blk, grids[lvl], BLOCK_SIZE << lvl,
             )
             region_ids.append(ids)
             offset += grids[lvl].num_blocks
         out["region_id"] = select(region_ids, "hw")
+    if return_state or emit_planes:
+        # owner-level values broadcast down to each level-0 member block
+        # (serializer state / endpoint debug planes)
+        st_shifts = levels[0]["shifts"]
+        st_eps = list(levels[0]["decomp"][1:7])
+        st_q = levels[0]["q_packed"]
+        yy0, xx0 = np.mgrid[0:by0, 0:bx0]
+        for lvl in range(1, num_levels):
+            anc = jnp.asarray(
+                ((yy0 >> lvl) * grids[lvl].blocks_x + (xx0 >> lvl)).reshape(-1)
+            )
+            sel = (owner_blocks == lvl)[None]
+            st_eps = [jnp.where(sel, e[:, anc], o)
+                      for e, o in zip(levels[lvl]["decomp"][1:7], st_eps)]
+            if return_state:
+                st_shifts = jnp.where(sel, levels[lvl]["shifts"][:, anc],
+                                      st_shifts)
+                q_l0 = _q_level_to_block0(
+                    levels[lvl]["q_packed"], grids[lvl], grids[0], lvl
+                )
+                st_q = jnp.where(sel, q_l0, st_q)
+        if emit_planes:
+            out["endpoint_rows"] = jnp.concatenate(st_eps, axis=0)
+        if return_state:
+            st_rr = (run_region_id if run_region_id is not None
+                     else jnp.arange(grids[0].num_blocks, dtype=jnp.int32))
+            out["ser_rows"] = jnp.concatenate(
+                [owner_blocks[None], st_shifts, *st_eps,
+                 st_rr[None], run_applied.astype(jnp.int32)[None]], axis=0
+            )
+            out["ser_q"] = st_q
     return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_levels", "emit_planes", "coalesce"),
+    static_argnames=("cfg", "num_levels", "emit_planes", "coalesce",
+                     "return_state"),
 )
 def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                                      dither_key: jax.Array, num_levels: int = 3,
                                      emit_planes: bool = True,
-                                     coalesce: bool = True):
+                                     coalesce: bool = True,
+                                     return_state: bool = False):
     """Merged encode via the fused Morton-layout kernels (match policy).
 
     Functionally equivalent to ``encode_image_merged_device(...,
@@ -691,177 +852,156 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         jnp.int32(cfg.max_block_bit_crush_error),
     ])
     interpret = jax.default_backend() == "cpu"
-    fit = em.fit_levels_pallas(packed_m, mask_m, params, kspec, num_levels,
-                               interpret)
+    # fit + merge decisions + owner in ONE kernel: the match predicate runs
+    # on VMEM rows (butterfly child-0 broadcasts) instead of as ~250 jnp ops
+    # over strided leader slices -- that glue measured ~8 ms per 4K
+    # (tools/profiling/xplane_top.py). Empty (grid padding) children
+    # auto-match as in the dense path.
+    fit, owner_row_m, reason_rows = em.fit_levels_pallas(
+        packed_m, mask_m, params, kspec, num_levels, interpret,
+        emit_match=True,
+    )
+    owner = owner_row_m[0]
 
-    # per-level decompositions / counts at region-leader lanes (stride 4^lvl)
-    decomps, counts = [], []
-    for lvl in range(num_levels):
-        s = 4 ** lvl
-        eps = fit[lvl]["endpoints"]
-        decomps.append(Decomposition(
-            avg=fit[lvl]["avg"][:, ::s],
-            dirA_min=eps[0][:, ::s], dirA_max=eps[1][:, ::s],
-            dirB_offset=eps[2][:, ::s], dirB_mag=eps[3][:, ::s],
-            dirC_offset=eps[4][:, ::s], dirC_mag=eps[5][:, ::s],
-        ))
-        counts.append(fit[lvl]["count"][0, ::s])
-
-    # merge decisions: children of Morton parent j are entries 4j..4j+3.
-    # Fully-empty (grid padding) children auto-match so edge regions merge
-    # exactly as in the dense path (where ceil-division grids never produce
-    # empty children).
-    alive = [jnp.ones((nbp,), bool)]
     merge_stats = []
     for lvl in range(1, num_levels):
-        dch, cnt = decomps[lvl - 1], counts[lvl - 1]
-        c = [Decomposition(*(f[:, k::4] for f in dch)) for k in range(4)]
-        empty = [cnt[k::4] <= 0 for k in range(4)]
-        ka = alive[lvl - 1]
-        ok = ka[0::4] & ka[1::4] & ka[2::4] & ka[3::4]
-        stats_acc = None
-        for k in (1, 2, 3):
-            m, st = match_decomps(c[0], c[k], ch)
-            ok = ok & (m | empty[k] | empty[0])
-            stats_acc = st if stats_acc is None else {
-                kk: stats_acc[kk] | st[kk] for kk in st
-            }
-        nonempty_parent = counts[lvl] > 0
-        merge_stats.append(
-            {kk: (stats_acc[kk] & nonempty_parent).sum() for kk in stats_acc}
-        )
-        alive.append(ok)
+        s = 4 ** lvl
+        nonempty_parent = fit[lvl]["count"][0, ::s] > 0
+        r = reason_rows[lvl - 1][0, ::s]
+        merge_stats.append({
+            name: ((r & bit) != 0) & nonempty_parent
+            for name, bit in em.MATCH_REASON_BITS
+        })
+        merge_stats[-1] = {k: v.sum() for k, v in merge_stats[-1].items()}
 
-    owner = jnp.zeros((nbp,), jnp.int32)
-    for lvl in range(1, num_levels):
-        owner = jnp.where(jnp.repeat(alive[lvl], 4 ** lvl), lvl, owner)
-
-    # owner-selected factors / endpoints per lane (fit rows are already
-    # broadcast across each region's member lanes)
+    # crush at the owner level; the owner select of factors/endpoints runs
+    # inside the kernel (fit rows are already broadcast across each region's
+    # member lanes), which also emits per-BLOCK dist/bpp rows and the
+    # selected endpoint rows -- everything downstream works at flat level-0
+    # block granularity (stats become plain sums, no per-level loops)
     owner_row = owner[None, :]
-    f8_sel = fit[0]["f8"]
-    eps_sel = list(fit[0]["endpoints"])
-    for lvl in range(1, num_levels):
-        sel = owner_row == lvl
-        f8_sel = jnp.where(sel, fit[lvl]["f8"], f8_sel)
-        eps_sel = [jnp.where(sel, e, o)
-                   for e, o in zip(fit[lvl]["endpoints"], eps_sel)]
-
-    shifts_m, q_m, dec_m, dist_m = em.owner_crush_pallas(
-        packed_m, mask_m, owner_row, f8_sel, eps_sel, params, kspec,
-        num_levels, interpret,
+    (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m,
+     *eps_sel) = em.owner_crush_pallas(
+        packed_m, mask_m, owner_row,
+        [fit[lvl]["f8"] for lvl in range(num_levels)],
+        [fit[lvl]["endpoints"] for lvl in range(num_levels)],
+        params, kspec, num_levels, interpret,
     )
 
     header = static_block_bits(ch)
-    cnt0_m = fit[0]["count"][0]                                  # (NBP,)
-    s_eff_m = jnp.minimum(shifts_m, 8)
 
-    # per-block bpp at the owner region (region values broadcast to members)
-    fac_bits_blk_m = ((8 - s_eff_m) * cnt0_m[None]).sum(axis=0)
-    bpp_blk_m = jnp.minimum(
-        0xFF, (header + fac_bits_blk_m + cnt0_m // 2) // jnp.maximum(cnt0_m, 1)
-    )
+    # ---- orig-order level-0 rows: one stacked gather for the small rows,
+    # separate multi-row gathers for the big pixel planes (single-row
+    # conversions lower to ~1 ms serial loops on TPU) -------------------------
+    from .ops.segments import SEG_CAP
+
+    grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
+    by0, bx0 = grid0.blocks_y, grid0.blocks_x
+    cnt_blk_m = mask_m.sum(axis=0)
+    rows = to_orig(jnp.concatenate(
+        [owner[None], cnt_blk_m[None], bpp_m, shifts_m, *eps_sel], axis=0,
+    ))
+    owner0, cnt0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
+    ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
+    frows = to_orig(jnp.concatenate([distb_m, fit[0]["avg"]], axis=0))
+    distb0, avg0 = frows[0], frows[1:1 + ch]
+    dec0 = to_orig(dec_m)
+    need_q0 = emit_planes or return_state
+    q0 = to_orig(q_m) if need_q0 else None
+
+    # per-block segment leader (square top-left / self) from host constants
+    yy0, xx0 = np.mgrid[0:by0, 0:bx0]
+    lead0 = jnp.asarray((yy0 * bx0 + xx0).reshape(-1).astype(np.int32))
     for lvl in range(1, num_levels):
-        s = 4 ** lvl
-        sh_l = jnp.minimum(shifts_m[:, ::s], 8)
-        bits_l = header + ((8 - sh_l) * counts[lvl][None]).sum(axis=0)
-        bpp_l = jnp.minimum(
-            0xFF, (bits_l + counts[lvl] // 2) // jnp.maximum(counts[lvl], 1)
-        )
-        bpp_blk_m = jnp.where(owner == lvl, jnp.repeat(bpp_l, s), bpp_blk_m)
+        lp = ((((yy0 >> lvl) << lvl) * bx0)
+              + ((xx0 >> lvl) << lvl)).reshape(-1).astype(np.int32)
+        lead0 = jnp.where(owner0 == lvl, jnp.asarray(lp), lead0)
+    s_eff0 = jnp.minimum(shifts0, 8)
+    fac_bits0 = ((8 - s_eff0) * cnt0[None]).sum(axis=0)
+    is_leader0 = lead0 == jnp.arange(nb, dtype=jnp.int32)
+    bits0 = fac_bits0 + header * is_leader0.astype(jnp.int32)
 
-    # level-0 state: the coalesce pass and per-pixel plane assembly work on
-    # the unpermuted grid, so they need orig-order copies; the no-coalesce
-    # fast path keeps everything in Morton order and converts only the
-    # decode plane. 1-D row conversions are batched into one stacked plane
-    # gather (single-row gathers lower to ~1 ms serial loops on TPU).
+    lv0 = dict(
+        decomp=Decomposition(avg0, *ep_rows), shifts=shifts0, q_packed=q0,
+        dec_packed=dec0, dist=distb0, bits=bits0, bpp_block=bpp0,
+        mask=mask, count=cnt0,
+    )
+
     run_region_id = None
     n_runs = jnp.zeros((), jnp.int32)
     run_applied = jnp.zeros((nb,), bool)
-    accum_bits = jnp.zeros((3,), jnp.int32)
-    bits_histogram = jnp.zeros((3, 9), jnp.int32)
-    total_err = jnp.zeros((), jnp.float32)
-
+    coalesce_stats = {}
     if coalesce:
-        eps0 = fit[0]["endpoints"]
-        rows = to_orig(jnp.concatenate(
-            [owner[None], cnt0_m[None], bpp_blk_m[None], shifts_m, *eps0],
-            axis=0,
-        ))
-        owner0, count0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
-        ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
-        frows = to_orig(jnp.concatenate([dist_m, fit[0]["avg"]], axis=0))
-        d0 = Decomposition(frows[1:1 + ch], *ep_rows)
-        s_eff0 = jnp.minimum(shifts0, 8)
-        bits0 = header + ((8 - s_eff0) * count0[None]).sum(axis=0)
-        lv0 = dict(
-            decomp=d0,
-            shifts=shifts0,
-            q_packed=to_orig(q_m),
-            dec_packed=to_orig(dec_m),
-            dist=frows[0],
-            bits=bits0,
-            bpp_block=bpp0,
-            mask=mask,
-            count=count0,
-        )
+        # multi-level run building: link matching neighbor REGIONS at every
+        # level (level-L linking runs on tiny level-L rows), then ONE
+        # unified segment refit/crush pass at level-0 block granularity
+        seg0 = lead0
+        is_run0 = jnp.zeros((nb,), bool)
+        for lvl in range(num_levels):
+            grid_l = grids[lvl]
+            owned_l = (owner0.reshape(by0, bx0)[:: 1 << lvl, :: 1 << lvl]
+                       == lvl).reshape(-1)
+            if lvl == 0:
+                # owner-selected rows == the level-0 fit at owned0 blocks
+                # (the only ones build_runs links)
+                d_l = Decomposition(avg0, *ep_rows)
+            else:
+                # leader-lane fit rows -> original level-L grid order: for
+                # level-L cell (Y, X), its Morton leader lane via perm
+                s = 4 ** lvl
+                p0 = perm[:: s].copy()                    # leader lanes' blk0
+                lane_idx = np.zeros(grid_l.num_blocks, np.int64)
+                real = p0 >= 0
+                flat_l = ((p0[real] // bx0) >> lvl) * grid_l.blocks_x + (
+                    (p0[real] % bx0) >> lvl)
+                lane_idx[flat_l] = np.nonzero(real)[0] * s
+                rows_l = jnp.concatenate(
+                    [fit[lvl]["avg"], *fit[lvl]["endpoints"]], axis=0
+                )[:, jnp.asarray(lane_idx)]
+                d_l = Decomposition(
+                    rows_l[:ch],
+                    *(rows_l[ch * (1 + k):ch * (2 + k)] for k in range(6)),
+                )
+            seg_l, len_l = build_runs(d_l, owned_l, grid_l, ch,
+                                      max_members=SEG_CAP >> (2 * lvl))
+            is_run_l = owned_l & (len_l >= 2)
+            if lvl == 0:
+                take = is_run_l & (owner0 == 0)
+                seg0 = jnp.where(take, seg_l, seg0)
+                is_run0 = is_run0 | take
+            else:
+                bxl = grid_l.blocks_x
+                lead0_of = (((seg_l // bxl) << lvl) * bx0
+                            + ((seg_l % bxl) << lvl))
+                take = (owner0 == lvl) & _bcast0(is_run_l, grid_l, grid0, lvl)
+                seg0 = jnp.where(
+                    take, _bcast0(lead0_of, grid_l, grid0, lvl), seg0
+                )
+                is_run0 = is_run0 | take
         ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
-        lv0, run_applied, run_region_id, n_runs = coalesce_level_bands(
-            image, lv0, grid0, owner0 == 0, cfg, ckey, BLOCK_SIZE, "match", 0.0,
+        (lv0, run_applied, run_region_id, n_runs,
+         coalesce_stats) = coalesce_segments(
+            packed, mask, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
         )
-        # level-0 stats from the (coalesce-updated) orig-order arrays
-        own0_i = (owner0 == 0).astype(jnp.int32)
-        s_eff0 = jnp.minimum(lv0["shifts"], 8)
-        accum_bits = accum_bits + ((8 - s_eff0) * (count0 * own0_i)[None]).sum(axis=1)
-        one_hot0 = s_eff0[:, None, :] == jnp.arange(9)[None, :, None]
-        bits_histogram = bits_histogram + (
-            one_hot0 * (count0 * own0_i)[None, None, :]
-        ).sum(axis=2)
-        total_err = total_err + (lv0["dist"] * own0_i).sum()
-        bpp_weighted = (lv0["bpp_block"].astype(jnp.float32) * count0).sum()
-        dec_blk = lv0["dec_packed"]
-        shifts_blk, q_blk, bpp_blk = lv0["shifts"], lv0["q_packed"], lv0["bpp_block"]
-    else:
-        # level-0 stats directly in Morton order (padding lanes have count 0)
-        own0_i = ((owner == 0) & (cnt0_m > 0)).astype(jnp.int32)
-        s0_m = jnp.minimum(shifts_m, 8)
-        accum_bits = accum_bits + ((8 - s0_m) * (cnt0_m * own0_i)[None]).sum(axis=1)
-        one_hot0 = s0_m[:, None, :] == jnp.arange(9)[None, :, None]
-        bits_histogram = bits_histogram + (
-            one_hot0 * (cnt0_m * own0_i)[None, None, :]
-        ).sum(axis=2)
-        total_err = total_err + (dist_m[0] * own0_i).sum()
-        bpp_weighted = (bpp_blk_m.astype(jnp.float32) * cnt0_m).sum()
-        dec_blk = to_orig(dec_m)
-        owner0 = None
-        if emit_planes:
-            rows = to_orig(jnp.concatenate(
-                [owner[None], bpp_blk_m[None], shifts_m], axis=0
-            ))
-            owner0, bpp_blk, shifts_blk = rows[0], rows[1], rows[2:5]
-            q_blk = to_orig(q_m)
 
-    for lvl in range(1, num_levels):
-        s = 4 ** lvl
-        own_l = (owner[::s] == lvl) & (counts[lvl] > 0)
-        own_i = own_l.astype(jnp.int32)
-        cnt_l = counts[lvl]
-        sh_l = jnp.minimum(shifts_m[:, ::s], 8)
-        total_err = total_err + (dist_m[0, ::s] * own_i).sum()
-        accum_bits = accum_bits + ((8 - sh_l) * (cnt_l * own_i)[None]).sum(axis=1)
-        one_hot = sh_l[:, None, :] == jnp.arange(9)[None, :, None]
-        bits_histogram = bits_histogram + (
-            one_hot * (cnt_l * own_i)[None, None, :]
-        ).sum(axis=2)
-
+    # ---- stats: flat level-0 sums (region values broadcast per block) ------
+    s_eff0 = jnp.minimum(lv0["shifts"], 8)
+    accum_bits = ((8 - s_eff0) * cnt0[None]).sum(axis=1)
+    one_hot = s_eff0[:, None, :] == jnp.arange(9)[None, :, None]
+    bits_histogram = (one_hot * cnt0[None, None, :]).sum(axis=2)
+    total_err = lv0["dist"].sum()
+    bpp_weighted = (lv0["bpp_block"].astype(jnp.float32) * cnt0).sum()
+    # alive[l] == (owner >= l) for the region's lanes (the alive chain is
+    # monotone), so leader-lane owner rows reproduce the per-level counts
     merged_counts = jnp.asarray([
-        (alive[l] & (counts[l] > 0)).sum() for l in range(num_levels)
+        ((owner[:: 4 ** l] >= l) & (fit[l]["count"][0, :: 4 ** l] > 0)).sum()
+        for l in range(num_levels)
     ])
 
     # the decode plane stays as packed (H, W) i32 words; the host unpacks
     # them with a free numpy byte view (a device-side bitcast would force
     # another 33 MB layout pass)
-    dec_plane = layout.unblockify(dec_blk[None], grid0, BLOCK_SIZE)[..., 0]
+    dec_plane = layout.unblockify(lv0["dec_packed"][None], grid0, BLOCK_SIZE)[..., 0]
 
     out = dict(
         decoded_words=dec_plane,
@@ -872,42 +1012,52 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         total_err=total_err,
         merge_stats=merge_stats,
         n_runs=n_runs,
+        coalesce_stats=coalesce_stats,
     )
     if emit_planes:
+        # per-block endpoint rows for the 6 endpoint-color debug planes
+        # (src/main.cpp:363-368); the CLI broadcasts them to pixels on host
+        out["endpoint_rows"] = jnp.concatenate(list(lv0["decomp"][1:7]), axis=0)
         # all per-block byte planes broadcast in ONE u8 pass (separate i32
         # broadcasts cost ~4x the bytes and 5x the relayouts)
         rows8 = jnp.concatenate([
-            jnp.minimum(shifts_blk, 8), bpp_blk[None], owner0[None]
+            s_eff0, lv0["bpp_block"][None], owner0[None]
         ], axis=0).astype(jnp.uint8)                      # (5, NB)
         planes8 = layout.broadcast_block_plane(rows8, grid0, BLOCK_SIZE)
         out["shift"] = planes8[:3]
         out["bpp"] = planes8[3]
         out["owner_px"] = planes8[4]
-        q = jnp.stack([(q_blk >> (8 * k)) & 0xFF for k in range(3)])
-        f_shifted = (q << jnp.minimum(shifts_blk, 8)[:, None, :]) & 0xFF
+        q = jnp.stack([(lv0["q_packed"] >> (8 * k)) & 0xFF for k in range(3)])
+        f_shifted = (q << s_eff0[:, None, :]) & 0xFF
         out["factors"] = layout.unblockify(
             f_shifted.astype(jnp.uint8), grid0, BLOCK_SIZE
         )
-        rid_m = jnp.asarray(np.maximum(perm, 0)).astype(jnp.int32)
-        for lvl in range(1, num_levels):
-            s = 4 ** lvl
-            leader_orig = perm[(np.arange(nbp) // s) * s]
-            rid_m = jnp.where(
-                owner == lvl,
-                jnp.asarray(np.maximum(leader_orig, 0)).astype(jnp.int32) + nb * lvl,
-                rid_m,
-            )
-        rid_blk = to_orig(rid_m)
-        if run_region_id is not None:
-            rid_blk = jnp.where(run_applied, run_region_id, rid_blk)
-        out["region_id"] = layout.broadcast_block_plane(rid_blk, grid0, BLOCK_SIZE)
+        rid_blk = (jnp.where(run_applied, run_region_id, lead0)
+                   if run_region_id is not None else lead0)
+        out["region_id"] = layout.broadcast_block_plane(
+            owner0 * nb + rid_blk, grid0, BLOCK_SIZE
+        )
+    if return_state:
+        # LTP1 serializer state: owner level, owner-region shifts/endpoints
+        # (broadcast to member blocks; run refits applied), crushed factors,
+        # and the run segmentation -- all level-0, original order
+        st_rr = (run_region_id if run_region_id is not None
+                 else jnp.arange(nb, dtype=jnp.int32))
+        out["ser_rows"] = jnp.concatenate(
+            [owner0[None], lv0["shifts"], *lv0["decomp"][1:7],
+             st_rr[None], run_applied.astype(jnp.int32)[None]], axis=0
+        )
+        out["ser_q"] = lv0["q_packed"]
     return out
 
 
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
                         fetch_planes: bool = True, use_pallas: bool | None = None,
                         merge_policy: str = "match", rd_lambda: float = 0.01,
-                        coalesce: bool = True, fused: bool | None = None):
+                        coalesce: bool = True, fused: bool | None = None,
+                        return_state: bool = False,
+                        rd_header_bits: int | None = None,
+                        fetch_decoded: bool = True):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -917,6 +1067,10 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     single-crush-pass Morton-layout path (encode_image_merged_fused_device);
     by default it is used whenever it applies (pallas backend, match policy)
     -- the RD policy needs dense per-level costs and stays on the dense path.
+    ``return_state=True`` additionally returns the LTP1 serializer state of
+    THIS encode (bitstream.serialize_from_state input) as a second value, so
+    writing a stream never re-encodes. ``rd_header_bits`` feeds the RD cut
+    the real serialized header cost instead of the reference's estimate.
     """
     from .pallas_kernels.encode_merged import MAX_FUSED_LEVELS
 
@@ -936,12 +1090,13 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     if fused:
         out = encode_image_merged_fused_device(
             image, cfg, key, num_levels, emit_planes=fetch_planes,
-            coalesce=coalesce,
+            coalesce=coalesce, return_state=return_state,
         )
     else:
         out = encode_image_merged_device(
             image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,
             merge_policy=merge_policy, rd_lambda=rd_lambda, coalesce=coalesce,
+            return_state=return_state, rd_header_bits=rd_header_bits,
         )
     from .ops.error import max_possible_error
 
@@ -950,7 +1105,11 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     psnr = 10.0 * np.log10(max_possible_error(cfg.channels) / max(mse, 1e-12))
     mean_bpp = out["mean_bpp"]
 
-    if "decoded_words" in out:
+    if not fetch_decoded:
+        # serialize-only callers skip the big decoded-image fetch (33 MB on
+        # a 4K; the tunnel transfer dominates the whole serialize)
+        decoded_np = None
+    elif "decoded_words" in out:
         decoded_np = np.ascontiguousarray(np.asarray(out["decoded_words"]))
         decoded_np = decoded_np.view(np.uint8).reshape(*decoded_np.shape, 4)
     else:
@@ -968,6 +1127,9 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
             for s in out["merge_stats"]
         ],
         n_runs=int(np.asarray(out["n_runs"])),
+        coalesce_stats={
+            k: int(np.asarray(v)) for k, v in out["coalesce_stats"].items()
+        },
     )
     if fetch_planes:
         np_out.update(
@@ -976,5 +1138,13 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
             bpp=np.asarray(out["bpp"].astype(jnp.uint8)),
             region_id=np.asarray(out["region_id"]),
             owner_px=np.asarray(out["owner_px"].astype(jnp.uint8)),
+            endpoint_rows=np.asarray(out["endpoint_rows"]),
         )
+    if return_state:
+        state = dict(
+            height=int(image.shape[0]), width=int(image.shape[1]),
+            num_levels=num_levels, channels=cfg.channels,
+            rows=out["ser_rows"], q=out["ser_q"], n_runs=out["n_runs"],
+        )
+        return np_out, state
     return np_out

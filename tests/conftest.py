@@ -38,6 +38,16 @@ def pytest_configure(config):
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+    # Persistent compile cache: the big merged-path graphs take minutes to
+    # compile on this box's single CPU, and XLA:CPU's LLVM JIT has segfaulted
+    # compiling the largest one mid-suite (state-dependent; never standalone).
+    # Cached reruns skip those compiles entirely.
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache_cpu"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     env[_REEXEC_FLAG] = "1"
     # release pytest's fd capture so the re-exec'd run owns the terminal
     capman = config.pluginmanager.getplugin("capturemanager")

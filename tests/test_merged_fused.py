@@ -131,3 +131,23 @@ def test_morton_perm_random_grids(levels):
                 ys, xs = grp // bx, grp % bx
                 assert np.unique(ys // side).size == 1
                 assert np.unique(xs // side).size == 1
+
+
+def test_fused_state_serializes_exactly():
+    """The fused encode's serializer state round-trips bit-exactly through
+    LTP1 v5 (the production CLI path: one encode serves stats + stream)."""
+    from limg_tpu.bitstream import serialize_from_state, deserialize
+    from limg_tpu.regions import encode_image_merged
+    from tests.conftest import make_test_image
+
+    rng = np.random.default_rng(7)
+    img = make_test_image(rng, 48, 72)
+    img[:16, :, :3] = [80, 120, 160]      # mergeable band
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder", dithering=False)
+    out, state = encode_image_merged(img, cfg, seed=0, num_levels=3,
+                                     fused=True, use_pallas=True,
+                                     return_state=True)
+    blob = serialize_from_state(state, cfg)
+    dec, info = deserialize(blob)
+    assert np.array_equal(dec, out["decoded"])
+    assert info["n_segments"] < 6 * 9     # some squares actually merged
