@@ -19,6 +19,8 @@ decomposition/shifts back to block granularity.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from ..config import EncodeConfig
@@ -54,12 +56,12 @@ def seg_sum(x: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int) -> jnp.ndarr
 # scans (shift + same-segment guard + combine) -- pure vector ops.
 
 def _shift_right(x, d, fill):
-    pad = jnp.full((*x.shape[:-1], d), fill, x.dtype)
+    pad = jnp.broadcast_to(jnp.asarray(fill, x.dtype), (*x.shape[:-1], d))
     return jnp.concatenate([pad, x[..., :-d]], axis=-1)
 
 
 def _shift_left(x, d, fill):
-    pad = jnp.full((*x.shape[:-1], d), fill, x.dtype)
+    pad = jnp.broadcast_to(jnp.asarray(fill, x.dtype), (*x.shape[:-1], d))
     return jnp.concatenate([x[..., d:], pad], axis=-1)
 
 
@@ -120,6 +122,46 @@ def seg_max_all(x, seg_c, init):
 
 def seg_min_all(x, seg_c, init):
     return _seg_all_reduce_contig(x, seg_c, jnp.minimum, jnp.asarray(init, x.dtype), False)
+
+
+def seg_mixed_all(x, seg_c, n_sum: int, init_max):
+    """One doubling-scan chain for a MIX of reductions: rows ``[:n_sum]`` of
+    the (R, N) stack are summed, rows ``[n_sum:]`` are maxed (to min, negate).
+
+    Row-wise arithmetic is identical to running seg_sum_all / seg_max_all per
+    row (same shift/combine order, so results stay bit-identical); batching
+    every reduction of a stage into ONE chain is what matters on TPU -- each
+    separate scan emits log2(SEG_CAP) x 6 small XLA ops of pure launch
+    overhead (tools/profiling/coalesce_stages.py)."""
+    r = x.shape[0]
+    init_max = jnp.asarray(init_max, x.dtype)
+    is_sum_row = (jnp.arange(r) < n_sum)[:, None]          # (R, 1)
+    fill = jnp.where(is_sum_row, jnp.zeros((), x.dtype), init_max)
+
+    if n_sum == r:
+        comb = jnp.add
+    elif n_sum == 0:
+        comb = jnp.maximum
+    else:
+        # rows select their op elementwise -- NO concatenate (a per-step
+        # concat copies the whole stack and erased the batching win)
+        def comb(a, b):
+            return jnp.where(is_sum_row, a + b, jnp.maximum(a, b))
+
+    fwd = x
+    bwd = x
+    d = 1
+    while d < min(SEG_CAP, x.shape[-1]):
+        prev_seg = _shift_right(seg_c, d, jnp.int32(-1))
+        fwd = jnp.where(prev_seg == seg_c, comb(fwd, _shift_right(fwd, d, fill)), fwd)
+        nxt_seg = _shift_left(seg_c, d, jnp.int32(-2))
+        bwd = jnp.where(nxt_seg == seg_c, comb(bwd, _shift_left(bwd, d, fill)), bwd)
+        d *= 2
+    if n_sum == r:
+        return fwd + bwd - x
+    if n_sum == 0:
+        return jnp.maximum(fwd, bwd)
+    return jnp.where(is_sum_row, fwd + bwd - x, jnp.maximum(fwd, bwd))
 
 
 def _member_reducers():
@@ -198,10 +240,19 @@ def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int,
         to_blk = lambda a: a[..., seg_id]
     px = px_u8[:channels].astype(jnp.float32)         # (ch, P, NB)
     m = mask.astype(jnp.float32)
-    count = s_sum(m.sum(axis=0), seg_id, num_segments)          # (S,)
-    inv_count = 1.0 / jnp.maximum(count, 1.0)
-
-    avg = s_sum((px * m).sum(axis=1), seg_id, num_segments) * inv_count
+    if contiguous:
+        # count + per-channel sums in ONE scan chain (see seg_mixed_all)
+        st = seg_mixed_all(
+            jnp.concatenate([m.sum(axis=0)[None], (px * m).sum(axis=1)], axis=0),
+            seg_id, 1 + channels, 0.0,
+        )
+        count = st[0]
+        inv_count = 1.0 / jnp.maximum(count, 1.0)
+        avg = st[1:] * inv_count
+    else:
+        count = s_sum(m.sum(axis=0), seg_id, num_segments)      # (S,)
+        inv_count = 1.0 / jnp.maximum(count, 1.0)
+        avg = s_sum((px * m).sum(axis=1), seg_id, num_segments) * inv_count
     corrected = (px - to_blk(avg)[:, None, :]) * m
     dir_a = _seg_signed_unit_mean(corrected, m, seg_id, num_segments, inv_count, s_sum)
 
@@ -228,17 +279,30 @@ def fit_segments(px_u8, mask, seg_id, num_segments: int, channels: int,
 
     big = jnp.float32(3.4e38)
 
-    def seg_minmax(fac):
-        blk_mn = jnp.where(mask, fac, big).min(axis=0)            # (NB,)
-        blk_mx = jnp.where(mask, fac, -big).max(axis=0)
-        return (
-            s_min(blk_mn, seg_id, num_segments, big),
-            s_max(blk_mx, seg_id, num_segments, -big),
-        )
+    def blk_minmax(fac):
+        return (jnp.where(mask, fac, big).min(axis=0),            # (NB,)
+                jnp.where(mask, fac, -big).max(axis=0))
 
-    mn_a, mx_a = seg_minmax(fac_a)
-    mn_b, mx_b = seg_minmax(fac_b)
-    mn_c, mx_c = seg_minmax(fac_c)
+    if contiguous:
+        # all six min/max reductions in ONE max-scan chain (min == -max(-x),
+        # exact for floats)
+        mns_mxs = [blk_minmax(f) for f in (fac_a, fac_b, fac_c)]
+        rows = jnp.stack([v for mn, mx in mns_mxs for v in (-mn, mx)])
+        red = seg_mixed_all(rows, seg_id, 0, -big)
+        (mn_a, mx_a), (mn_b, mx_b), (mn_c, mx_c) = (
+            (-red[2 * i], red[2 * i + 1]) for i in range(3)
+        )
+    else:
+        def seg_minmax(fac):
+            blk_mn, blk_mx = blk_minmax(fac)
+            return (
+                s_min(blk_mn, seg_id, num_segments, big),
+                s_max(blk_mx, seg_id, num_segments, -big),
+            )
+
+        mn_a, mx_a = seg_minmax(fac_a)
+        mn_b, mx_b = seg_minmax(fac_b)
+        mn_c, mx_c = seg_minmax(fac_c)
     # empty segments: collapse the +-big sentinels to 0
     empty = count <= 0.0
     mn_a, mx_a = jnp.where(empty, 0.0, mn_a), jnp.where(empty, 0.0, mx_a)
@@ -309,6 +373,23 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
         eps = [d_blk.dirA_min, d_blk.dirA_max, d_blk.dirB_offset,
                d_blk.dirB_mag, d_blk.dirC_offset, d_blk.dirC_mag]
 
+    def seg_pm_be(pm, be):
+        """Segment reductions of a (…, N) pixel-max + block-error pair; in
+        contiguous mode both run in ONE mixed scan chain (bit-identical to
+        the separate seg_max_all/seg_sum_all, see seg_mixed_all)."""
+        be = be >> (SEG_ERR_SHIFT - es_blk)
+        if contiguous:
+            k = be.shape[:-1]
+            n = be.shape[-1]
+            red = seg_mixed_all(
+                jnp.concatenate([be.reshape(-1, n), pm.reshape(-1, n)]),
+                seg_id, math.prod(k), 0,
+            )
+            half = red.shape[0] // 2
+            return red[half:].reshape(*k, n), red[:half].reshape(*k, n)
+        return (s_max(pm, seg_id, num_segments, 0),
+                s_sum(be, seg_id, num_segments))
+
     def eval_fn(shifts_seg):
         shifts_blk = to_blk(shifts_seg)
         if use_kernel:
@@ -317,13 +398,11 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
             )
         else:
             pm, be = evaluate_shifts(px, mask_i, f8, d_blk, shifts_blk, channels)
-        pm_s = s_max(pm, seg_id, num_segments, 0)
-        be_s = s_sum(be >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
-        return pm_s, be_s
+        return seg_pm_be(pm, be)
 
     def eval_batch(cands):
         """All K candidates at once: ONE batched kernel launch + ONE K-wide
-        pair of segment reductions, vs K rounds of each -- the per-candidate
+        mixed segment reduction, vs K rounds of each -- the per-candidate
         doubling-scan chains were ~half the merged encode's device time
         (tools/profiling/fused_stages.py). Kernel path only: on CPU the
         unrolled K-way graphs blow up XLA:CPU's LLVM compile (observed
@@ -334,9 +413,7 @@ def find_shifts_segments(px_u8, mask, f8_u8, d_seg: Decomposition, seg_id,
         pm_k, be_k = crush_eval_rows_k_pallas(
             packed, mask_i, f8_packed, eps, shifts_blk, channels
         )
-        pm_s = s_max(pm_k, seg_id, num_segments, 0)
-        be_s = s_sum(be_k >> (SEG_ERR_SHIFT - es_blk), seg_id, num_segments)
-        return pm_s, be_s
+        return seg_pm_be(pm_k, be_k)
 
     eval_batch = eval_batch if use_kernel else None
 

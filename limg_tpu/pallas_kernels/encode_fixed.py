@@ -974,23 +974,29 @@ def crush_eval_rows_k_pallas(packed_px, mask_i, f8_packed, eps, shifts_k,
     nbp = nb + pad
     grid = nbp // treg
     # Mosaic requires the last-two block dims to divide 8/128 OR equal the
-    # array dims; candidates therefore concatenate along the LANE axis
-    # ((3, K*NB), candidate kk in columns [kk*nbp, (kk+1)*nbp)) so the
-    # (3, treg)/(1, treg) blocks keep their dim-equality exemption and the
-    # kernel body is byte-for-byte the unbatched one.
-    shifts_rows = shifts_k.transpose(1, 0, 2).reshape(3, k * nbp)
+    # array dims; candidates therefore concatenate along the LANE axis so
+    # the (3, treg)/(1, treg) blocks keep their dim-equality exemption and
+    # the kernel body is byte-for-byte the unbatched one. The grid iterates
+    # (tile, candidate) with the CANDIDATE axis innermost: the fixed pixel
+    # slab blocks keep the same index across all K inner steps, so Mosaic's
+    # block revisiting leaves them resident in VMEM -- grid (K, tiles)
+    # re-fetched ~190 KB x K per tile and was HBM-bound (~3x slower,
+    # tools/profiling/xplane_ops.py). Candidate kk of tile i lives at lane
+    # block (i*K + kk).
+    shifts_rows = (shifts_k.reshape(k, 3, grid, treg)
+                   .transpose(1, 2, 0, 3).reshape(3, grid * k * treg))
 
     def fixed(rows):
-        return pl.BlockSpec((rows, treg), lambda kk, i, *_: (0, i))
+        return pl.BlockSpec((rows, treg), lambda i, kk, *_: (0, i))
 
     def by_k(rows):
-        return pl.BlockSpec((rows, treg), lambda kk, i, *_: (0, kk * grid + i))
+        return pl.BlockSpec((rows, treg), lambda i, kk, *_: (0, i * k + kk))
 
     params = jnp.zeros((1,), jnp.int32)  # unused; uniform prefetch signature
     pm, be = pl.pallas_call(
         _make_eval_kernel(channels),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(k, grid),
+            num_scalar_prefetch=1, grid=(grid, k),
             in_specs=[fixed(p), fixed(p), fixed(p), by_k(3)]
                      + [fixed(channels)] * 6,
             out_specs=(by_k(1), by_k(1)),
@@ -1001,7 +1007,12 @@ def crush_eval_rows_k_pallas(packed_px, mask_i, f8_packed, eps, shifts_k,
         ),
         interpret=interpret or jax.default_backend() == "cpu",
     )(params, packed_px, mask_i, f8_packed, shifts_rows, *eps)
-    return pm.reshape(k, nbp)[:, :nb], be.reshape(k, nbp)[:, :nb]
+
+    def unshuffle(v):
+        return (v.reshape(grid, k, treg).transpose(1, 0, 2)
+                .reshape(k, nbp)[:, :nb])
+
+    return unshuffle(pm), unshuffle(be)
 
 
 def pack_channels(px_u8: jnp.ndarray) -> jnp.ndarray:

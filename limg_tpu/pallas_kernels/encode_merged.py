@@ -362,7 +362,8 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
     return kernel
 
 
-def _make_owner_crush_kernel(spec: KernelSpec, levels: int):
+def _make_owner_crush_kernel(spec: KernelSpec, levels: int,
+                             emit_q: bool = True):
     channels = spec.channels
 
     def kernel(params_ref, packed_ref, mask_ref, owner_ref, *rest):
@@ -371,8 +372,10 @@ def _make_owner_crush_kernel(spec: KernelSpec, levels: int):
         # that streams the full planes through HBM (measured ~7 ms per 4K)
         f8_in = rest[:levels]
         ep_in = rest[levels:levels + 6 * levels]   # level-major: 6 per level
-        (shifts_ref, q_ref, dec_ref, dist_ref, distb_ref, bpp_ref,
-         *ep_out) = rest[levels + 6 * levels:]
+        outs = list(rest[levels + 6 * levels:])
+        shifts_ref = outs.pop(0)
+        q_ref = outs.pop(0) if emit_q else None
+        (dec_ref, dist_ref, distb_ref, bpp_ref, *ep_out) = outs
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         owner = owner_ref[...]
@@ -394,7 +397,8 @@ def _make_owner_crush_kernel(spec: KernelSpec, levels: int):
             emit_pixel_err=True,
         )
         shifts_ref[...] = jnp.concatenate(shifts, axis=0)
-        q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
+        if emit_q:
+            q_ref[...] = q[0] + (q[1] << 8) + (q[2] << 16)
         dec_ref[...] = _pack_dec(dec, channels)
         dist_ref[...] = dist
         # per-BLOCK stats rows (vs the region-broadcast dist): each lane's
@@ -498,9 +502,11 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("kspec", "levels", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kspec", "levels", "interpret",
+                                              "emit_q"))
 def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
-                       kspec: KernelSpec, levels: int, interpret: bool):
+                       kspec: KernelSpec, levels: int, interpret: bool,
+                       emit_q: bool = True):
     """Crush + dither + decode once per pixel at each block's owner level.
 
     owner: (1, NBP) i32 in [0, levels); f8_levels: per-level packed factor
@@ -509,6 +515,9 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
     (shifts (3, NBP), q_packed, dec_packed (P, NBP), dist (1, NBP) broadcast
     per region, dist_blk (1, NBP) per-BLOCK error, bpp_blk (1, NBP)
     region-amortized bpp, plus the 6 owner-selected endpoint rows).
+    ``emit_q=False`` skips the crushed-factor plane (a 33 MB HBM write on a
+    4K) and returns None in its slot -- perf/bench callers that consume
+    neither debug planes nor serializer state never read it.
     """
     p, nb = packed_px.shape
     packed_px = _pad_lanes(packed_px, nb)
@@ -521,19 +530,20 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
     grid = nbp // _T_LANES
     ch = kspec.channels
 
+    q_specs = (_row_spec(p),) if emit_q else ()
+    q_shapes = ((jax.ShapeDtypeStruct((p, nbp), jnp.int32),) if emit_q
+                else ())
     outs = pl.pallas_call(
-        _make_owner_crush_kernel(kspec, levels),
+        _make_owner_crush_kernel(kspec, levels, emit_q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
             in_specs=[_row_spec(p), _row_spec(p), _row_spec(1)]
             + [_row_spec(p)] * levels + [_row_spec(ch)] * (6 * levels),
-            out_specs=(_row_spec(3), _row_spec(p), _row_spec(p), _row_spec(1),
-                       _row_spec(1), _row_spec(1))
+            out_specs=(_row_spec(3),) + q_specs
+            + (_row_spec(p), _row_spec(1), _row_spec(1), _row_spec(1))
             + tuple([_row_spec(ch)] * 6),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, nbp), jnp.int32),
-            jax.ShapeDtypeStruct((p, nbp), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((3, nbp), jnp.int32),) + q_shapes + (
             jax.ShapeDtypeStruct((p, nbp), jnp.int32),
             jax.ShapeDtypeStruct((1, nbp), jnp.float32),
             jax.ShapeDtypeStruct((1, nbp), jnp.float32),
@@ -543,4 +553,7 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
         ),
         interpret=interpret,
     )(params, packed_px, mask_i, owner, *f8_levels, *eps_flat)
-    return tuple(o[:, :nb] for o in outs)
+    outs = tuple(o[:, :nb] for o in outs)
+    if not emit_q:
+        outs = outs[:1] + (None,) + outs[1:]
+    return outs

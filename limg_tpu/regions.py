@@ -253,8 +253,58 @@ def _slice_decomp_2d(d: Decomposition, gy: int, gx: int, sl_y, sl_x) -> Decompos
     return Decomposition(*(f(v) for v in d))
 
 
+def neighbor_pair_matches(decomps, grids, channels: int):
+    """Left- and up-neighbor similarity for several levels in ONE
+    match_decomps call.
+
+    Each match_decomps evaluation is the reference's 27-probe cross
+    projection (~250 elementwise XLA ops regardless of lane count); running
+    it separately per level and direction made build_runs ~30% of the whole
+    merged encode (tools/profiling/coalesce_stages.py). The pairs of every
+    level and both directions concatenate along the lane axis into one call.
+
+    decomps: list of Decomposition (ch, gy_l*gx_l) in original grid order.
+    Returns [(m_left (gy, gx-1) | None, m_up (gy-1, gx) | None)] per level.
+    """
+    parts_a, parts_b, sizes = [], [], []
+    for d, grid in zip(decomps, grids):
+        gy, gx = grid.blocks_y, grid.blocks_x
+        if gx > 1:
+            parts_a.append(_slice_decomp_2d(d, gy, gx, slice(None), slice(1, None)))
+            parts_b.append(_slice_decomp_2d(d, gy, gx, slice(None), slice(0, -1)))
+            sizes.append(gy * (gx - 1))
+        else:
+            sizes.append(0)
+        if gy > 1:
+            parts_a.append(_slice_decomp_2d(d, gy, gx, slice(1, None), slice(None)))
+            parts_b.append(_slice_decomp_2d(d, gy, gx, slice(0, -1), slice(None)))
+            sizes.append((gy - 1) * gx)
+        else:
+            sizes.append(0)
+
+    def cat(parts):
+        return Decomposition(
+            *(jnp.concatenate([p[i] for p in parts], axis=-1) for i in range(7))
+        )
+
+    m, _ = match_decomps(cat(parts_a), cat(parts_b), channels)
+    out = []
+    off = 0
+    it = iter(sizes)
+    for grid in grids:
+        gy, gx = grid.blocks_y, grid.blocks_x
+        nl = next(it)
+        ml = m[off:off + nl].reshape(gy, gx - 1) if nl else None
+        off += nl
+        nu = next(it)
+        mu = m[off:off + nu].reshape(gy - 1, gx) if nu else None
+        off += nu
+        out.append((ml, mu))
+    return out
+
+
 def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
-               max_members: int | None = None):
+               max_members: int | None = None, matches=None):
     """Coalesce owned grid cells into horizontal runs (plus vertical runs of
     horizontal singletons) of matching neighbors.
 
@@ -266,7 +316,9 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
 
     ``owned``: (NB,) bool. ``max_members`` caps cells per run (default
     SEG_CAP; multi-level callers pass SEG_CAP >> 2L so a run of level-L
-    squares never exceeds SEG_CAP level-0 blocks). Returns (seg_id (NB,)
+    squares never exceeds SEG_CAP level-0 blocks). ``matches`` passes
+    precomputed (m_left, m_up) rows from neighbor_pair_matches so several
+    levels share one match_decomps evaluation. Returns (seg_id (NB,)
     i32 -- the run's first block's flat index; run_len (NB,) i32 per cell).
     """
     from jax import lax
@@ -299,10 +351,13 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
 
     # -- horizontal runs ---------------------------------------------------
     if gx > 1:
-        da = _slice_decomp_2d(d_lvl, gy, gx, slice(None), slice(1, None))
-        db = _slice_decomp_2d(d_lvl, gy, gx, slice(None), slice(0, -1))
-        m_left, _ = match_decomps(da, db, channels)               # (gy*(gx-1),)
-        m_left = m_left.reshape(gy, gx - 1)
+        if matches is not None:
+            m_left = matches[0]
+        else:
+            da = _slice_decomp_2d(d_lvl, gy, gx, slice(None), slice(1, None))
+            db = _slice_decomp_2d(d_lvl, gy, gx, slice(None), slice(0, -1))
+            m_left, _ = match_decomps(da, db, channels)           # (gy*(gx-1),)
+            m_left = m_left.reshape(gy, gx - 1)
         link_left = jnp.zeros((gy, gx), bool).at[:, 1:].set(
             m_left & own2[:, 1:] & own2[:, :-1]
         )
@@ -319,10 +374,13 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
     # -- vertical runs of horizontal singletons -----------------------------
     if gy > 1:
         elig2 = (owned & (len_h == 1)).reshape(gy, gx)
-        da = _slice_decomp_2d(d_lvl, gy, gx, slice(1, None), slice(None))
-        db = _slice_decomp_2d(d_lvl, gy, gx, slice(0, -1), slice(None))
-        m_up, _ = match_decomps(da, db, channels)
-        m_up = m_up.reshape(gy - 1, gx)
+        if matches is not None:
+            m_up = matches[1]
+        else:
+            da = _slice_decomp_2d(d_lvl, gy, gx, slice(1, None), slice(None))
+            db = _slice_decomp_2d(d_lvl, gy, gx, slice(0, -1), slice(None))
+            m_up, _ = match_decomps(da, db, channels)
+            m_up = m_up.reshape(gy - 1, gx)
         link_up = jnp.zeros((gy, gx), bool).at[1:, :].set(
             m_up & elig2[1:, :] & elig2[:-1, :]
         )
@@ -438,7 +496,7 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     decide what links into a segment (build_runs at any quadtree level)."""
     from jax import lax
     from .ops.segments import (
-        fit_segments, find_shifts_segments, seg_sum_all,
+        fit_segments, find_shifts_segments, seg_mixed_all,
     )
     from .ops.factors import extract_factors, quantize_factors
     from .ops.dither import dither_crush
@@ -467,6 +525,10 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     seg_orig = rows_i[0]
     sel_is_run = rows_i[1].astype(bool)
     old_bits_sel = rows_i[2]
+    if header_bits is not None:
+        # lv["bits"] was computed with the static header estimate; swap in
+        # the real header so old and new costs use the same units
+        old_bits_sel = old_bits_sel + (header_bits - static_block_bits(ch))
     old_dist_sel = lax.bitcast_convert_type(rows_i[3], jnp.float32)
     packed_c = packed_blk[:, sel]                                # (P, cap)
     mask_c = mask[:, sel] & sel_is_run[None, :]
@@ -520,8 +582,14 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)   # (cap,)
     header = static_block_bits(ch) if header_bits is None else header_bits
     bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
-    count_mem = seg_sum_all(count_blk, seg_c)
-    bits_mem = seg_sum_all(fac_bits_blk, seg_c) + header
+    # count/bits/old-bits segment totals in ONE scan chain (seg_mixed_all)
+    old_bits_masked = jnp.where(sel_is_run, old_bits_sel, 0)
+    sums3 = seg_mixed_all(
+        jnp.stack([count_blk, fac_bits_blk, old_bits_masked]), seg_c, 3, 0,
+    )
+    count_mem = sums3[0]
+    bits_mem = sums3[1] + header
+    old_bits_mem = sums3[2]
     bpp_mem = jnp.minimum(
         0xFF, (bits_mem + count_mem // 2) // jnp.maximum(count_mem, 1)
     )
@@ -532,23 +600,18 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # factor bits than the amortized header saves (the reference pays this
     # silently, src/limg.cpp:1752-1761). Guard: a run is only kept when it
     # does not increase the bit cost (match policy) / the RD cost (rd).
-    if header_bits is not None:
-        # lv["bits"] was computed with the static header estimate; swap in
-        # the real header so old and new costs use the same units
-        old_bits_sel = old_bits_sel + (header_bits - static_block_bits(ch))
     if merge_policy == "rd":
-        dist_mem = seg_sum_all(dist_blk, seg_c)
-        new_cost = bits_mem.astype(jnp.float32) + rd_lambda * dist_mem
-        old_cost_mem = seg_sum_all(
-            jnp.where(sel_is_run, old_bits_sel.astype(jnp.float32)
-                      + rd_lambda * old_dist_sel, 0.0),
-            seg_c,
+        sums_f = seg_mixed_all(
+            jnp.stack([
+                dist_blk,
+                jnp.where(sel_is_run, old_bits_sel.astype(jnp.float32)
+                          + rd_lambda * old_dist_sel, 0.0),
+            ]),
+            seg_c, 2, 0.0,
         )
-        accept = ok_c & (new_cost <= old_cost_mem)
+        new_cost = bits_mem.astype(jnp.float32) + rd_lambda * sums_f[0]
+        accept = ok_c & (new_cost <= sums_f[1])
     else:
-        old_bits_mem = seg_sum_all(
-            jnp.where(sel_is_run, old_bits_sel, 0), seg_c
-        )
         accept = ok_c & (bits_mem <= old_bits_mem)
 
     # -- scatter accepted run results back to the full block arrays ---------
@@ -880,12 +943,13 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     # selected endpoint rows -- everything downstream works at flat level-0
     # block granularity (stats become plain sums, no per-level loops)
     owner_row = owner[None, :]
+    need_q0 = emit_planes or return_state
     (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m,
      *eps_sel) = em.owner_crush_pallas(
         packed_m, mask_m, owner_row,
         [fit[lvl]["f8"] for lvl in range(num_levels)],
         [fit[lvl]["endpoints"] for lvl in range(num_levels)],
-        params, kspec, num_levels, interpret,
+        params, kspec, num_levels, interpret, emit_q=need_q0,
     )
 
     header = static_block_bits(ch)
@@ -906,7 +970,6 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     frows = to_orig(jnp.concatenate([distb_m, fit[0]["avg"]], axis=0))
     distb0, avg0 = frows[0], frows[1:1 + ch]
     dec0 = to_orig(dec_m)
-    need_q0 = emit_planes or return_state
     q0 = to_orig(q_m) if need_q0 else None
 
     # per-block segment leader (square top-left / self) from host constants
@@ -937,14 +1000,17 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         # unified segment refit/crush pass at level-0 block granularity
         seg0 = lead0
         is_run0 = jnp.zeros((nb,), bool)
+        d_ls, owned_ls = [], []
         for lvl in range(num_levels):
             grid_l = grids[lvl]
-            owned_l = (owner0.reshape(by0, bx0)[:: 1 << lvl, :: 1 << lvl]
-                       == lvl).reshape(-1)
+            owned_ls.append(
+                (owner0.reshape(by0, bx0)[:: 1 << lvl, :: 1 << lvl]
+                 == lvl).reshape(-1)
+            )
             if lvl == 0:
                 # owner-selected rows == the level-0 fit at owned0 blocks
                 # (the only ones build_runs links)
-                d_l = Decomposition(avg0, *ep_rows)
+                d_ls.append(Decomposition(avg0, *ep_rows))
             else:
                 # leader-lane fit rows -> original level-L grid order: for
                 # level-L cell (Y, X), its Morton leader lane via perm
@@ -958,12 +1024,18 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                 rows_l = jnp.concatenate(
                     [fit[lvl]["avg"], *fit[lvl]["endpoints"]], axis=0
                 )[:, jnp.asarray(lane_idx)]
-                d_l = Decomposition(
+                d_ls.append(Decomposition(
                     rows_l[:ch],
                     *(rows_l[ch * (1 + k):ch * (2 + k)] for k in range(6)),
-                )
-            seg_l, len_l = build_runs(d_l, owned_l, grid_l, ch,
-                                      max_members=SEG_CAP >> (2 * lvl))
+                ))
+        # every level x direction in ONE 27-probe match evaluation
+        matches_all = neighbor_pair_matches(d_ls, grids[:num_levels], ch)
+        for lvl in range(num_levels):
+            grid_l = grids[lvl]
+            owned_l = owned_ls[lvl]
+            seg_l, len_l = build_runs(d_ls[lvl], owned_l, grid_l, ch,
+                                      max_members=SEG_CAP >> (2 * lvl),
+                                      matches=matches_all[lvl])
             is_run_l = owned_l & (len_l >= 2)
             if lvl == 0:
                 take = is_run_l & (owner0 == 0)

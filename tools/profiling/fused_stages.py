@@ -4,8 +4,7 @@ Stages (4K RGB, errorFactor=100, 3 levels, match policy):
   s_blockify    blockify_packed only
   s_morton      + Morton lane gather (current: batched row gather)
   s_morton_rt   ALTERNATIVE: one reshape/transpose relayout image->Morton
-  s_fit         + fit_levels_pallas
-  s_sel         + merge decisions + owner/f8/eps lane selects
+  s_fit         + fit_levels_pallas incl. in-kernel match/owner
   s_crush       + owner_crush_pallas
   s_out         + to_orig + unblockify of the decode plane
   full_nc/full_c  the real device fn (coalesce off/on, no planes)
@@ -31,8 +30,6 @@ jax.config.update(
 
 from limg_tpu import EncodeConfig
 from limg_tpu.ops import layout
-from limg_tpu.ops.fit import Decomposition
-from limg_tpu.ops.match import match_decomps
 from limg_tpu.pallas_kernels.encode_fixed import KernelSpec
 from limg_tpu.pallas_kernels import encode_merged as em
 from limg_tpu.regions import encode_image_merged_fused_device
@@ -95,50 +92,16 @@ def main():
 
     @jax.jit
     def s_fit(img):
+        # the REAL path: fit + in-kernel match decisions + owner row
         packed_m, mask_m, grid0, _ = _prep(img, cfg)
-        fit = em.fit_levels_pallas(packed_m, mask_m, params, kspec, LEVELS, False)
-        return fit[2]["count"]
-
-    def _upto_sel(img):
-        packed_m, mask_m, grid0, _ = _prep(img, cfg)
-        fit = em.fit_levels_pallas(packed_m, mask_m, params, kspec, LEVELS, False)
-        nbp = packed_m.shape[-1]
-        ch = cfg.channels
-        decomps, counts = [], []
-        for lvl in range(LEVELS):
-            s = 4 ** lvl
-            eps = fit[lvl]["endpoints"]
-            decomps.append(Decomposition(
-                avg=fit[lvl]["avg"][:, ::s],
-                dirA_min=eps[0][:, ::s], dirA_max=eps[1][:, ::s],
-                dirB_offset=eps[2][:, ::s], dirB_mag=eps[3][:, ::s],
-                dirC_offset=eps[4][:, ::s], dirC_mag=eps[5][:, ::s],
-            ))
-            counts.append(fit[lvl]["count"][0, ::s])
-        alive = [jnp.ones((nbp,), bool)]
-        for lvl in range(1, LEVELS):
-            dch, cnt = decomps[lvl - 1], counts[lvl - 1]
-            c = [Decomposition(*(f[:, k::4] for f in dch)) for k in range(4)]
-            empty = [cnt[k::4] <= 0 for k in range(4)]
-            ka = alive[lvl - 1]
-            ok = ka[0::4] & ka[1::4] & ka[2::4] & ka[3::4]
-            for k in (1, 2, 3):
-                m, _ = match_decomps(c[0], c[k], ch)
-                ok = ok & (m | empty[k] | empty[0])
-            alive.append(ok)
-        owner = jnp.zeros((nbp,), jnp.int32)
-        for lvl in range(1, LEVELS):
-            owner = jnp.where(jnp.repeat(alive[lvl], 4 ** lvl), lvl, owner)
-        return packed_m, mask_m, owner[None, :], fit
-
-    @jax.jit
-    def s_sel(img):
-        # match decisions + owner row (factor/endpoint select now lives
-        # inside the crush kernel)
-        return _upto_sel(img)[2]
+        fit, owner_row, _ = em.fit_levels_pallas(
+            packed_m, mask_m, params, kspec, LEVELS, False, emit_match=True)
+        return owner_row
 
     def _crush(img):
-        packed_m, mask_m, owner_row, fit = _upto_sel(img)
+        packed_m, mask_m, grid0, _ = _prep(img, cfg)
+        fit, owner_row, _ = em.fit_levels_pallas(
+            packed_m, mask_m, params, kspec, LEVELS, False, emit_match=True)
         return em.owner_crush_pallas(
             packed_m, mask_m, owner_row,
             [fit[lvl]["f8"] for lvl in range(LEVELS)],
@@ -162,7 +125,7 @@ def main():
 
     probes = [
         ("s_blockify", s_blockify), ("s_morton", s_morton),
-        ("s_morton_rt", s_morton_rt), ("s_fit", s_fit), ("s_sel", s_sel),
+        ("s_morton_rt", s_morton_rt), ("s_fit", s_fit),
         ("s_crush", s_crush), ("s_out", s_out),
     ]
     for name, fn in probes:
