@@ -190,8 +190,12 @@ def serialize_from_state(state, cfg: EncodeConfig, entropy: bool = True) -> byte
     state arrays."""
     from . import native
 
+    qdev = state["q"]
+    if hasattr(qdev, "copy_to_host_async"):
+        # overlap the big factor-plane fetch (33 MB on a 4K) with the
+        # rows fetch + segment/header build below
+        qdev.copy_to_host_async()
     rows = np.asarray(state["rows"])
-    q_packed = np.asarray(state["q"])
     h, w = state["height"], state["width"]
     num_levels, ch = state["num_levels"], state["channels"]
     by, bx = -(-h // BLOCK_SIZE), -(-w // BLOCK_SIZE)
@@ -232,15 +236,18 @@ def serialize_from_state(state, cfg: EncodeConfig, entropy: bool = True) -> byte
     # -- header records (contiguous fixed-size, bulk-built) -----------------
     s_hdr = s_blk[:, leaders]                                    # (3, nseg)
     ep_hdr = eps_blk[:, leaders].T                               # (nseg, 6ch)
-    swords = (s_hdr[0] | (s_hdr[1] << 4) | (s_hdr[2] << 8)).astype("<u2")
-    bits = ((ep_hdr + _EP_BIAS).astype(np.uint32)[:, :, None]
-            >> np.arange(_EP_BITS)) & 1
-    ep_bytes_arr = np.packbits(
-        bits.astype(np.uint8).reshape(nseg, -1), axis=1, bitorder="little"
-    )
-    recs = np.concatenate(
-        [swords.view(np.uint8).reshape(nseg, 2), ep_bytes_arr], axis=1
-    )
+    if native.factor_kernels_available():
+        recs = native.pack_headers(s_hdr, ep_hdr, ch)
+    else:
+        swords = (s_hdr[0] | (s_hdr[1] << 4) | (s_hdr[2] << 8)).astype("<u2")
+        bits = ((ep_hdr + _EP_BIAS).astype(np.uint32)[:, :, None]
+                >> np.arange(_EP_BITS)) & 1
+        ep_bytes_arr = np.packbits(
+            bits.astype(np.uint8).reshape(nseg, -1), axis=1, bitorder="little"
+        )
+        recs = np.concatenate(
+            [swords.view(np.uint8).reshape(nseg, 2), ep_bytes_arr], axis=1
+        )
 
     out = bytearray()
     flags = int(cfg.has_alpha) | (int(entropy) << 1)
@@ -258,12 +265,49 @@ def serialize_from_state(state, cfg: EncodeConfig, entropy: bool = True) -> byte
     maskb = _block_mask(h, w)                                    # (NB, 64)
     pixcnt = maskb.sum(axis=1)
     seg_cols = inv[order]
+    q_packed = np.asarray(qdev)
+    use_native = native.factor_kernels_available()
+    if q_packed.ndim == 3:
+        # (3, P, NB) u8 axis planes (fused-path state; smaller fetch)
+        if use_native:
+            q3 = np.ascontiguousarray(q_packed.transpose(0, 2, 1))
+        else:
+            q_packed = (q_packed[0].astype(np.int32)
+                        | (q_packed[1].astype(np.int32) << 8)
+                        | (q_packed[2].astype(np.int32) << 16))
+    elif use_native:
+        # single-pass C++ extract from the (P, NB) packed-i32 row
+        # (runtime/limg_runtime.cpp); byte-identical to the NumPy path below
+        q3 = native.factor_extract(q_packed)                     # (3, NB, 64)
+    if use_native:
+        maskb_u8 = np.ascontiguousarray(maskb, np.uint8)
     for k in range(3):
         wk = (8 - s_hdr[k]).astype(np.int16)                     # (nseg,)
         w_blk = wk[seg_cols]                  # width per ordered member col
         selc = w_blk > 0
         ck = order[selc]
         wb = w_blk[selc]
+        cnts = pixcnt[ck]
+        nv = np.bincount(wb, weights=cnts, minlength=9).astype(np.int64)
+        raw_bytes = int(sum(-(-nv[v] * v // 8) for v in range(1, 9)))
+        use_rans = False
+        if use_native:
+            n_pix = int(cnts.sum())
+            vals, syms, hist, raw_blob, _ = native.factor_pack_axis(
+                q3[k], maskb_u8, ck, seg_cols[selc], wb, n_pix)
+            if entropy and n_pix:
+                freqs = native.rans_quantize_freqs(hist)
+                stream = native.rans_encode(syms, freqs)
+                n_freq = int(np.max(np.nonzero(freqs)[0])) + 1
+                use_rans = 8 + 2 + 2 * n_freq + len(stream) < 4 + raw_bytes
+            if use_rans:
+                out += struct.pack("<BIIH", 1, syms.size, len(stream), n_freq)
+                out += freqs[:n_freq].astype(np.uint16).tobytes()
+                out += stream
+            else:
+                out += struct.pack("<BI", 0, raw_bytes)
+                out += raw_blob.tobytes()
+            continue
         qk = ((q_packed >> (8 * k)) & 0xFF).astype(np.uint8).T   # (NB, 64)
         mm = maskb[ck]                                           # (n, 64)
         vals = qk[ck][mm]
@@ -271,10 +315,6 @@ def serialize_from_state(state, cfg: EncodeConfig, entropy: bool = True) -> byte
         # (np.repeat over per-element counts measured ~1.5 s per call on 4K)
         n_sel = ck.size
         wv = np.broadcast_to(wb[:, None], (n_sel, 64))[mm]
-        cnts = pixcnt[ck]
-        nv = np.bincount(wb, weights=cnts, minlength=9).astype(np.int64)
-        raw_bytes = int(sum(-(-nv[v] * v // 8) for v in range(1, 9)))
-        use_rans = False
         if entropy and vals.size:
             sk32 = seg_cols[selc].astype(np.int32)
             sv = np.broadcast_to(sk32[:, None], (n_sel, 64))[mm]
@@ -379,22 +419,40 @@ def deserialize(blob: bytes):
     if n_seg_stored != nseg:
         raise ValueError("corrupt LTP1 stream: segment count mismatch")
 
+    from . import native as _native_hdr
+
     rec = 2 + 6 * ch * _EP_BITS // 8
     raw = np.frombuffer(blob, np.uint8, rec * nseg, off).reshape(nseg, rec)
     off += rec * nseg
-    swords = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
-    s_hdr = np.stack([swords & 0xF, (swords >> 4) & 0xF, (swords >> 8) & 0xF])
+    if _native_hdr.factor_kernels_available():
+        s_hdr, ep_hdr = _native_hdr.unpack_headers(raw, ch)
+        s_hdr = s_hdr.astype(np.int64)
+        ep_hdr = ep_hdr.astype(np.int64)
+    else:
+        swords = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
+        s_hdr = np.stack(
+            [swords & 0xF, (swords >> 4) & 0xF, (swords >> 8) & 0xF])
+        bits = np.unpackbits(raw[:, 2:], axis=1, bitorder="little")
+        bits = bits[:, : 6 * ch * _EP_BITS].reshape(nseg, 6 * ch, _EP_BITS)
+        ep_hdr = ((bits.astype(np.int64) << np.arange(_EP_BITS)).sum(axis=2)
+                  - _EP_BIAS)                                    # (nseg, 6ch)
     if (s_hdr > 8).any():
         raise ValueError("corrupt LTP1 stream: shift out of range")
-    bits = np.unpackbits(raw[:, 2:], axis=1, bitorder="little")
-    bits = bits[:, : 6 * ch * _EP_BITS].reshape(nseg, 6 * ch, _EP_BITS)
-    ep_hdr = ((bits.astype(np.int64) << np.arange(_EP_BITS)).sum(axis=2)
-              - _EP_BIAS)                                        # (nseg, 6ch)
+
+    from . import native
 
     maskb = _block_mask(h, w)
     pixcnt = maskb.sum(axis=1)
     seg_cols = inv[order]
-    q = np.zeros((3, nb * 64), np.int32)
+    use_native = native.factor_kernels_available()
+    if use_native:
+        # single-pass C++ undelta/unpack + scatter per axis, then native
+        # integer decode + unblockify (runtime/limg_runtime.cpp) -- the
+        # NumPy path below is the bit-identical fallback
+        q3 = np.zeros((3, nb, 64), np.uint8)
+        maskb_u8 = np.ascontiguousarray(maskb, np.uint8)
+    else:
+        q = np.zeros((3, nb * 64), np.int32)
     for k in range(3):
         wk = (8 - s_hdr[k]).astype(np.int16)
         w_blk = wk[seg_cols]
@@ -404,9 +462,10 @@ def deserialize(blob: bytes):
         cnts = pixcnt[ck]
         n_k = int(cnts.sum())
         n_sel = ck.size
-        mm = maskb[ck]
-        tgt = (ck[:, None] * 64 + np.arange(64))[mm]
-        wv = np.broadcast_to(wb[:, None], (n_sel, 64))[mm]
+        if not use_native:
+            mm = maskb[ck]
+            tgt = (ck[:, None] * 64 + np.arange(64))[mm]
+            wv = np.broadcast_to(wb[:, None], (n_sel, 64))[mm]
         (mode,) = struct.unpack_from("<B", blob, off)
         off += 1
         if mode == 1:
@@ -417,42 +476,64 @@ def deserialize(blob: bytes):
             freqs = np.zeros(256, np.uint32)
             freqs[:n_freq] = np.frombuffer(blob, np.uint16, n_freq, off)
             off += 2 * n_freq
-            from . import native
-
             syms = (native.rans_decode(blob[off:off + n_bytes], freqs, n_syms)
                     if n_syms else np.zeros(0, np.uint8))
             off += n_bytes
-            sk32 = seg_cols[selc].astype(np.int32)
-            sv = np.broadcast_to(sk32[:, None], (n_sel, 64))[mm]
-            vals = _undelta_seg(syms, sv, wv) if n_syms else syms
-            q[k, tgt] = vals
+            if use_native:
+                native.factor_unpack_axis_syms(
+                    syms, maskb_u8, ck, seg_cols[selc], wb, q3[k])
+            else:
+                sk32 = seg_cols[selc].astype(np.int32)
+                sv = np.broadcast_to(sk32[:, None], (n_sel, 64))[mm]
+                vals = _undelta_seg(syms, sv, wv) if n_syms else syms
+                q[k, tgt] = vals
         elif mode == 0:
             (n_bytes,) = struct.unpack_from("<I", blob, off)
             off += 4
             nv = np.bincount(wb, weights=cnts, minlength=9).astype(np.int64)
             if n_bytes != int(sum(-(-nv[v] * v // 8) for v in range(1, 9))):
                 raise ValueError("corrupt LTP1 stream: raw section length mismatch")
-            pos = off
-            for v in range(1, 9):
-                if not nv[v]:
-                    continue
-                n_v = int(nv[v])
-                gbytes = -(-n_v * v // 8)
-                vals_v = _unpack_bits(
-                    np.frombuffer(blob, np.uint8, gbytes, pos), n_v, v
-                )
-                pos += gbytes
-                q[k, tgt[wv == v]] = vals_v
-            off = pos
+            if use_native:
+                gb = np.array([0] + [-(-int(nv[v]) * v // 8)
+                                     for v in range(1, 9)], np.int64)
+                native.factor_unpack_axis_raw(
+                    np.frombuffer(blob, np.uint8, n_bytes, off), gb,
+                    maskb_u8, ck, wb, q3[k])
+                off += n_bytes
+            else:
+                pos = off
+                for v in range(1, 9):
+                    if not nv[v]:
+                        continue
+                    n_v = int(nv[v])
+                    gbytes = -(-n_v * v // 8)
+                    vals_v = _unpack_bits(
+                        np.frombuffer(blob, np.uint8, gbytes, pos), n_v, v
+                    )
+                    pos += gbytes
+                    q[k, tgt[wv == v]] = vals_v
+                off = pos
         else:
             raise ValueError("corrupt LTP1 stream: unknown section mode")
     if off != len(blob):
         raise ValueError("corrupt LTP1 stream: trailing bytes")
 
     # one level-0 decode with each segment's header broadcast to its blocks,
-    # entirely on host (see _decode_blocks_np)
+    # entirely on host (see _decode_blocks_np / limg_rt_decode_blocks)
     shifts_blk = s_hdr[:, inv].astype(np.int32)                  # (3, NB)
     eps_blk = ep_hdr[inv].T.astype(np.int32)                     # (6ch, NB)
+    if use_native:
+        words = native.decode_blocks_native(q3, shifts_blk, eps_blk, ch)
+        decoded = native.unblockify_packed(words, h, w)          # (H, W, 4)
+        if ch == 3:
+            decoded[..., 3] = 0xFF
+        info = dict(
+            width=w, height=h, has_alpha=has_alpha, levels=num_levels,
+            error_factor=ef, stream_bytes=len(blob),
+            real_bpp=len(blob) * 8.0 / (w * h),
+            n_runs=int(n_runs), n_segments=int(nseg),
+        )
+        return np.ascontiguousarray(decoded), info
     dec = _decode_blocks_np(
         q.reshape(3, nb, 64), shifts_blk, eps_blk, ch
     )                                                            # (ch, NB, 64)

@@ -101,6 +101,30 @@ def _lib():
             ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.limg_rt_rans_decode.restype = ctypes.c_int
+    if hasattr(lib, "limg_rt_factor_extract"):
+        lib.limg_rt_factor_extract.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.limg_rt_factor_pack_axis.argtypes = [ctypes.c_void_p] * 5 + [
+            ctypes.c_int64] + [ctypes.c_void_p] * 5
+        lib.limg_rt_factor_pack_axis.restype = ctypes.c_int64
+        lib.limg_rt_factor_unpack_axis_syms.argtypes = [
+            ctypes.c_void_p] * 5 + [ctypes.c_int64, ctypes.c_void_p]
+        lib.limg_rt_factor_unpack_axis_raw.argtypes = [
+            ctypes.c_void_p] * 4 + [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p]
+        lib.limg_rt_decode_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.limg_rt_pack_headers.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.limg_rt_unpack_headers.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     _LIB = lib
     return lib
 
@@ -339,4 +363,118 @@ def rans_decode(data: bytes, freqs: np.ndarray, n: int) -> np.ndarray:
             pos += 1
     if state != _RANS_LOW:
         raise ValueError("rans stream corrupt")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LTP1 factor-section kernels (bitstream.py hot path). All-or-nothing: the
+# caller checks factor_kernels_available() once and keeps its NumPy
+# formulation as the fallback, so the two paths stay byte-interchangeable.
+# ---------------------------------------------------------------------------
+
+
+def factor_kernels_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "limg_rt_factor_extract")
+
+
+def factor_extract(q_words: np.ndarray) -> np.ndarray:
+    """(64, NB) int32 packed factor words -> (3, NB, 64) uint8 axis planes."""
+    q_words = np.ascontiguousarray(q_words, np.int32)
+    nb = q_words.shape[1]
+    out = np.empty((3, nb, 64), np.uint8)
+    _lib().limg_rt_factor_extract(q_words.ctypes.data, nb, out.ctypes.data)
+    return out
+
+
+def factor_pack_axis(qk, maskb, ck, segk, wb, n_pix: int):
+    """One axis's stream build in a single native pass.
+
+    Returns (vals, syms, hist, raw_blob, group_bytes): the gathered masked
+    pixel values (stream order), the per-segment delta symbols
+    (bitstream._delta_seg semantics), the symbol histogram, and the
+    width-grouped raw packing with its per-width byte counts."""
+    qk = np.ascontiguousarray(qk, np.uint8)
+    maskb = np.ascontiguousarray(maskb, np.uint8)
+    ck = np.ascontiguousarray(ck, np.int32)
+    segk = np.ascontiguousarray(segk, np.int32)
+    wb = np.ascontiguousarray(wb, np.uint8)
+    vals = np.empty(n_pix, np.uint8)
+    syms = np.empty(n_pix, np.uint8)
+    hist = np.zeros(256, np.uint32)
+    raw = np.empty(n_pix + 16, np.uint8)     # <= 8 bits per value + slack
+    group_bytes = np.zeros(9, np.int64)
+    n = _lib().limg_rt_factor_pack_axis(
+        qk.ctypes.data, maskb.ctypes.data, ck.ctypes.data, segk.ctypes.data,
+        wb.ctypes.data, ck.size, vals.ctypes.data, syms.ctypes.data,
+        hist.ctypes.data, raw.ctypes.data, group_bytes.ctypes.data,
+    )
+    if n != n_pix:
+        raise RuntimeError(f"factor_pack_axis: {n} != expected {n_pix}")
+    return vals, syms, hist, raw[: int(group_bytes.sum())], group_bytes
+
+
+def factor_unpack_axis_syms(syms, maskb, ck, segk, wb, qk_out: np.ndarray):
+    """Undelta + scatter rANS-decoded symbols into the (NB, 64) qk plane."""
+    syms = np.ascontiguousarray(syms, np.uint8)
+    maskb = np.ascontiguousarray(maskb, np.uint8)
+    ck = np.ascontiguousarray(ck, np.int32)
+    segk = np.ascontiguousarray(segk, np.int32)
+    wb = np.ascontiguousarray(wb, np.uint8)
+    _lib().limg_rt_factor_unpack_axis_syms(
+        syms.ctypes.data, maskb.ctypes.data, ck.ctypes.data, segk.ctypes.data,
+        wb.ctypes.data, ck.size, qk_out.ctypes.data,
+    )
+
+
+def factor_unpack_axis_raw(raw, group_bytes, maskb, ck, wb, qk_out: np.ndarray):
+    """Unpack width-grouped raw factor bytes into the (NB, 64) qk plane."""
+    raw = np.ascontiguousarray(raw, np.uint8)
+    group_bytes = np.ascontiguousarray(group_bytes, np.int64)
+    maskb = np.ascontiguousarray(maskb, np.uint8)
+    ck = np.ascontiguousarray(ck, np.int32)
+    wb = np.ascontiguousarray(wb, np.uint8)
+    _lib().limg_rt_factor_unpack_axis_raw(
+        raw.ctypes.data, group_bytes.ctypes.data, maskb.ctypes.data,
+        ck.ctypes.data, wb.ctypes.data, ck.size, qk_out.ctypes.data,
+    )
+
+
+def pack_headers(s_hdr, ep_hdr, ch: int) -> np.ndarray:
+    """(3, nseg) shifts + (nseg, 6ch) endpoints -> (nseg, rec) header bytes
+    (u16 shift word + 12-bit biased endpoint fields, LSB-first)."""
+    s_hdr = np.ascontiguousarray(s_hdr, np.int32)
+    ep_hdr = np.ascontiguousarray(ep_hdr, np.int32)
+    nseg = s_hdr.shape[1]
+    rec = 2 + 6 * ch * 12 // 8
+    out = np.empty((nseg, rec), np.uint8)
+    _lib().limg_rt_pack_headers(
+        s_hdr.ctypes.data, ep_hdr.ctypes.data, nseg, ch, out.ctypes.data)
+    return out
+
+
+def unpack_headers(recs: np.ndarray, ch: int):
+    """Inverse of pack_headers: (nseg, rec) bytes -> ((3, nseg) i32 shifts,
+    (nseg, 6ch) i32 endpoints)."""
+    recs = np.ascontiguousarray(recs, np.uint8)
+    nseg = recs.shape[0]
+    s_hdr = np.empty((3, nseg), np.int32)
+    ep_hdr = np.empty((nseg, 6 * ch), np.int32)
+    _lib().limg_rt_unpack_headers(
+        recs.ctypes.data, nseg, ch, s_hdr.ctypes.data, ep_hdr.ctypes.data)
+    return s_hdr, ep_hdr
+
+
+def decode_blocks_native(q3, shifts, eps, ch: int) -> np.ndarray:
+    """(3, NB, 64) u8 factors + per-block headers -> (64, NB) u32 RGBA words
+    (limg_rt_unblockify_u32 layout)."""
+    q3 = np.ascontiguousarray(q3, np.uint8)
+    shifts = np.ascontiguousarray(shifts, np.int32)
+    eps = np.ascontiguousarray(eps, np.int32)
+    nb = q3.shape[1]
+    out = np.empty((64, nb), np.uint32)
+    _lib().limg_rt_decode_blocks(
+        q3.ctypes.data, shifts.ctypes.data, eps.ctypes.data, nb, ch,
+        out.ctypes.data,
+    )
     return out

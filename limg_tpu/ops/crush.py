@@ -36,7 +36,9 @@ from .decode import decode_params, dequant_mult
 
 GUESS_TRIPLES = ((4, 5, 6), (5, 8, 8), (4, 6, 8), (2, 4, 5))
 
-_BIG_I32 = jnp.int32(2**31 - 1)
+# numpy scalar (same strong int32 typing under jnp arithmetic) so importing
+# the package never initializes a backend
+_BIG_I32 = np.int32(2**31 - 1)
 
 
 def _err_scale_shift(p: int) -> int:

@@ -16,11 +16,13 @@ Fixed-point semantics reproduced exactly:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .fit import Decomposition
 
 # (1 << s) + decode_bias[s] for s = 0..7; slot 8 unused (q == 0 after >> 8).
-DEQUANT_MULT = jnp.array([1, 2, 4, 8, 17, 36, 85, 255, 0], dtype=jnp.int32)
+# numpy (not jnp) so importing the package never initializes a backend.
+DEQUANT_MULT = np.array([1, 2, 4, 8, 17, 36, 85, 255, 0], dtype=np.int32)
 _MULT_TABLE = (1, 2, 4, 8, 17, 36, 85, 255, 0)
 
 

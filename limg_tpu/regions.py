@@ -1119,7 +1119,12 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
             [owner0[None], lv0["shifts"], *lv0["decomp"][1:7],
              st_rr[None], run_applied.astype(jnp.int32)[None]], axis=0
         )
-        out["ser_q"] = lv0["q_packed"]
+        # ship the factor planes as (3, P, NB) u8 -- 25 MB instead of the
+        # 33 MB packed-i32 row on a 4K; the host<->device link dominates
+        # serialize wall time on tunneled setups
+        out["ser_q"] = jnp.stack(
+            [(lv0["q_packed"] >> (8 * k)).astype(jnp.uint8) for k in range(3)]
+        )
     return out
 
 
@@ -1213,6 +1218,11 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
             endpoint_rows=np.asarray(out["endpoint_rows"]),
         )
     if return_state:
+        for arr in (out["ser_rows"], out["ser_q"]):
+            if hasattr(arr, "copy_to_host_async"):
+                # start the device->host DMA now; serialize_from_state's
+                # np.asarray then finds the bytes already (partially) staged
+                arr.copy_to_host_async()
         state = dict(
             height=int(image.shape[0]), width=int(image.shape[1]),
             num_levels=num_levels, channels=cfg.channels,

@@ -115,8 +115,13 @@ def crush_culprits_merged(image, state, cfg: EncodeConfig):
         dirA_min=e[0], dirA_max=e[1], dirB_offset=e[2], dirB_mag=e[3],
         dirC_offset=e[4], dirC_mag=e[5],
     )
-    q_packed = jnp.asarray(np.asarray(state["q"]))
-    q = jnp.stack([(q_packed >> (8 * k)) & 0xFF for k in range(3)])
+    q_arr = np.asarray(state["q"])
+    if q_arr.ndim == 3:
+        # (3, P, NB) u8 axis planes (fused-path serializer state)
+        q = jnp.asarray(q_arr).astype(jnp.int32)
+    else:
+        q_packed = jnp.asarray(q_arr)
+        q = jnp.stack([(q_packed >> (8 * k)) & 0xFF for k in range(3)])
     shifts_j = jnp.asarray(shifts)
 
     # per-axis bump: exact per-block error arrays, aggregated per region

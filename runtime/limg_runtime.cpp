@@ -369,4 +369,271 @@ int limg_rt_rans_decode(const uint8_t* data, int64_t nbytes,
   return state == kRansLow ? 0 : -5;
 }
 
+// ---------------------------------------------------------------------------
+// LTP1 factor-section kernels: the host-side hot path of serialize /
+// deserialize (limg_tpu/bitstream.py). The NumPy formulation materializes
+// several 8M-element temporaries per axis (gathers, broadcast width/segment
+// maps, bit matrices); these single-pass loops replace all of it. The
+// reference has no bitstream at all (its size line is an estimate,
+// src/limg.cpp:1629-1636) -- this is capability beyond parity, so the design
+// owes nothing to reference code.
+// ---------------------------------------------------------------------------
+
+// (64, NB) packed factor words (axis k in byte k) -> 3 contiguous
+// (NB, 64) u8 planes. Cache-blocked over lane tiles.
+void limg_rt_factor_extract(const int32_t* q_words, int64_t nb, uint8_t* out) {
+  constexpr int64_t kTile = 128;
+  for (int64_t b0 = 0; b0 < nb; b0 += kTile) {
+    const int64_t b1 = b0 + kTile < nb ? b0 + kTile : nb;
+    for (int64_t p = 0; p < 64; p++) {
+      const int32_t* row = q_words + p * nb;
+      for (int64_t b = b0; b < b1; b++) {
+        const uint32_t v = (uint32_t)row[b];
+        out[(size_t)b * 64 + p] = (uint8_t)(v & 0xFF);
+        out[(size_t)(nb + b) * 64 + p] = (uint8_t)((v >> 8) & 0xFF);
+        out[(size_t)(2 * nb + b) * 64 + p] = (uint8_t)((v >> 16) & 0xFF);
+      }
+    }
+  }
+}
+
+namespace {
+
+// LSB-first bit writer matching numpy packbits(bitorder="little").
+struct BitWriter {
+  uint8_t* out;
+  uint64_t acc = 0;
+  int nbits = 0;
+  void put(uint32_t val, int width) {
+    acc |= (uint64_t)val << nbits;
+    nbits += width;
+    while (nbits >= 8) {
+      *out++ = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  void flush() {
+    if (nbits > 0) {
+      *out++ = (uint8_t)(acc & 0xFF);
+      acc = 0;
+      nbits = 0;
+    }
+  }
+};
+
+struct BitReader {
+  const uint8_t* in;
+  uint64_t acc = 0;
+  int nbits = 0;
+  uint32_t get(int width) {
+    while (nbits < width) {
+      acc |= (uint64_t)(*in++) << nbits;
+      nbits += 8;
+    }
+    const uint32_t v = (uint32_t)(acc & ((1u << width) - 1));
+    acc >>= width;
+    nbits -= width;
+    return v;
+  }
+};
+
+}  // namespace
+
+// One axis's symbol stream: gather the selected blocks' masked pixels in
+// stream order, per-segment delta transform (bitstream._delta_seg), symbol
+// histogram, and the width-grouped raw bit-packing -- all in ONE pass over
+// the data (plus one short pass to place the width-group cursors).
+//
+// qk (NB, 64) u8 plane; maskb (NB, 64) u8; ck (n_sel) ordered member block
+// ids; segk (n_sel) segment rank per ordered block; wb (n_sel) width 1..8.
+// Outputs: vals/syms (caller cap = total masked pixels), hist u32[256] of
+// syms (caller zeroes), raw_out width-grouped packed bytes,
+// group_bytes[9] per-width byte counts. Returns n_vals.
+int64_t limg_rt_factor_pack_axis(
+    const uint8_t* qk, const uint8_t* maskb, const int32_t* ck,
+    const int32_t* segk, const uint8_t* wb, int64_t n_sel,
+    uint8_t* vals, uint8_t* syms, uint32_t* hist,
+    uint8_t* raw_out, int64_t* group_bytes) {
+  // width-group bit counts -> byte-aligned group offsets (ascending width)
+  int64_t bits_w[9] = {0};
+  for (int64_t i = 0; i < n_sel; i++) {
+    const uint8_t* m = maskb + (size_t)ck[i] * 64;
+    int cnt = 0;
+    for (int p = 0; p < 64; p++) cnt += m[p];
+    bits_w[wb[i]] += (int64_t)cnt * wb[i];
+  }
+  BitWriter wr[9];
+  uint8_t* cur = raw_out;
+  for (int v = 1; v <= 8; v++) {
+    wr[v].out = cur;
+    group_bytes[v] = (bits_w[v] + 7) / 8;
+    cur += group_bytes[v];
+  }
+  group_bytes[0] = 0;
+
+  int64_t n = 0;
+  int32_t prev_seg = -1;
+  uint32_t prev_val = 0;
+  for (int64_t i = 0; i < n_sel; i++) {
+    const int64_t b = ck[i];
+    const int v = wb[i];
+    const uint32_t mask = (1u << v) - 1;
+    const uint8_t* q = qk + (size_t)b * 64;
+    const uint8_t* m = maskb + (size_t)b * 64;
+    const int32_t seg = segk[i];
+    const bool fresh = seg != prev_seg;
+    prev_seg = seg;
+    bool first = fresh;
+    for (int p = 0; p < 64; p++) {
+      if (!m[p]) continue;
+      const uint32_t val = q[p];
+      vals[n] = (uint8_t)val;
+      const uint32_t sym = first ? (val & mask) : ((val - prev_val) & mask);
+      first = false;
+      syms[n] = (uint8_t)sym;
+      hist[sym]++;
+      prev_val = val;
+      wr[v].put(val & mask, v);
+      n++;
+    }
+  }
+  for (int v = 1; v <= 8; v++) wr[v].flush();
+  return n;
+}
+
+// Inverse of the delta transform + scatter: symbols (rANS-decoded) ->
+// values back into the qk plane at the masked pixels of the selected
+// blocks. Masked-out pixels keep whatever qk holds (caller zeroes).
+void limg_rt_factor_unpack_axis_syms(
+    const uint8_t* syms, const uint8_t* maskb, const int32_t* ck,
+    const int32_t* segk, const uint8_t* wb, int64_t n_sel, uint8_t* qk) {
+  int64_t n = 0;
+  int32_t prev_seg = -1;
+  uint32_t prev_val = 0;
+  for (int64_t i = 0; i < n_sel; i++) {
+    const int64_t b = ck[i];
+    const uint32_t mask = (1u << wb[i]) - 1;
+    uint8_t* q = qk + (size_t)b * 64;
+    const uint8_t* m = maskb + (size_t)b * 64;
+    const int32_t seg = segk[i];
+    bool first = seg != prev_seg;
+    prev_seg = seg;
+    for (int p = 0; p < 64; p++) {
+      if (!m[p]) continue;
+      const uint32_t val =
+          first ? (uint32_t)syms[n] : ((prev_val + syms[n]) & mask);
+      first = false;
+      q[p] = (uint8_t)val;
+      prev_val = val;
+      n++;
+    }
+  }
+}
+
+// Raw-mode inverse: width-grouped packed bytes -> values scattered into the
+// qk plane. Groups are ascending width; within a group, blocks keep stream
+// order, so one pass per width over the selection.
+void limg_rt_factor_unpack_axis_raw(
+    const uint8_t* raw, const int64_t* group_bytes, const uint8_t* maskb,
+    const int32_t* ck, const uint8_t* wb, int64_t n_sel, uint8_t* qk) {
+  const uint8_t* cur = raw;
+  for (int v = 1; v <= 8; v++) {
+    if (group_bytes[v] == 0) continue;
+    BitReader rd{cur};
+    for (int64_t i = 0; i < n_sel; i++) {
+      if (wb[i] != v) continue;
+      const int64_t b = ck[i];
+      uint8_t* q = qk + (size_t)b * 64;
+      const uint8_t* m = maskb + (size_t)b * 64;
+      for (int p = 0; p < 64; p++) {
+        if (m[p]) q[p] = (uint8_t)rd.get(v);
+      }
+    }
+    cur += group_bytes[v];
+  }
+}
+
+// Segment header records (bitstream.py v5): per segment a u16 shift word
+// plus 6*ch 12-bit biased endpoint fields, LSB-first bit order. The NumPy
+// formulation expands an (nseg, 6ch, 12) bit tensor; this is one pass.
+void limg_rt_pack_headers(const int32_t* s_hdr /* (3, nseg) */,
+                          const int32_t* ep_hdr /* (nseg, 6ch) */,
+                          int64_t nseg, int ch, uint8_t* out) {
+  const int nf = 6 * ch;
+  const int rec = 2 + nf * 12 / 8;
+  for (int64_t i = 0; i < nseg; i++) {
+    uint8_t* r = out + (size_t)i * rec;
+    const uint32_t sw = (uint32_t)s_hdr[i] | ((uint32_t)s_hdr[nseg + i] << 4) |
+                        ((uint32_t)s_hdr[2 * nseg + i] << 8);
+    r[0] = (uint8_t)(sw & 0xFF);
+    r[1] = (uint8_t)(sw >> 8);
+    BitWriter wr{r + 2};
+    const int32_t* ep = ep_hdr + (size_t)i * nf;
+    for (int f = 0; f < nf; f++) wr.put((uint32_t)(ep[f] + 2048) & 0xFFF, 12);
+    wr.flush();
+  }
+}
+
+void limg_rt_unpack_headers(const uint8_t* recs, int64_t nseg, int ch,
+                            int32_t* s_hdr /* (3, nseg) */,
+                            int32_t* ep_hdr /* (nseg, 6ch) */) {
+  const int nf = 6 * ch;
+  const int rec = 2 + nf * 12 / 8;
+  for (int64_t i = 0; i < nseg; i++) {
+    const uint8_t* r = recs + (size_t)i * rec;
+    const uint32_t sw = (uint32_t)r[0] | ((uint32_t)r[1] << 8);
+    s_hdr[i] = (int32_t)(sw & 0xF);
+    s_hdr[nseg + i] = (int32_t)((sw >> 4) & 0xF);
+    s_hdr[2 * nseg + i] = (int32_t)((sw >> 8) & 0xF);
+    BitReader rd{r + 2};
+    int32_t* ep = ep_hdr + (size_t)i * nf;
+    for (int f = 0; f < nf; f++) ep[f] = (int32_t)rd.get(12) - 2048;
+  }
+}
+
+// Integer block decode (ops/decode.py semantics, see also
+// bitstream._decode_blocks_np): per-block factors + shifts + endpoints ->
+// packed (64, NB) RGBA words ready for limg_rt_unblockify_u32.
+// q3: (3, NB, 64) u8; shifts: (3, NB) i32; eps: (6ch, NB) i32.
+void limg_rt_decode_blocks(const uint8_t* q3, const int32_t* shifts,
+                           const int32_t* eps, int64_t nb, int ch,
+                           uint32_t* out_packed) {
+  static const int32_t kMult[9] = {1, 2, 4, 8, 17, 36, 85, 255, 0};
+  for (int64_t b = 0; b < nb; b++) {
+    int32_t mins[3][4];
+    int32_t normals[3][4];
+    int32_t mult[3];
+    for (int k = 0; k < 3; k++) {
+      const int32_t s = shifts[k * nb + b];
+      const bool dropped = s > 7;
+      mult[k] = kMult[s < 8 ? s : 8];
+      for (int c = 0; c < ch; c++) {
+        const int32_t lo = eps[(2 * k + 0) * ch * nb + c * nb + b];
+        const int32_t hi = eps[(2 * k + 1) * ch * nb + c * nb + b];
+        normals[k][c] = dropped ? 0 : hi - lo;
+        mins[k][c] = (dropped && k > 0) ? 0 : lo;
+      }
+    }
+    const uint8_t* q0 = q3 + (size_t)b * 64;
+    const uint8_t* q1 = q3 + (size_t)(nb + b) * 64;
+    const uint8_t* q2 = q3 + (size_t)(2 * nb + b) * 64;
+    for (int p = 0; p < 64; p++) {
+      const int32_t f0 = q0[p] * mult[0];
+      const int32_t f1 = q1[p] * mult[1];
+      const int32_t f2 = q2[p] * mult[2];
+      uint32_t word = ch == 3 ? 0xFF000000u : 0u;
+      for (int c = 0; c < ch; c++) {
+        int32_t acc = mins[0][c] + ((f0 * normals[0][c] + 128) >> 8);
+        acc += mins[1][c] + ((f1 * normals[1][c] + 128) >> 8);
+        acc += mins[2][c] + ((f2 * normals[2][c] + 128) >> 8);
+        if (acc < 0) acc = 0;
+        if (acc > 255) acc = 255;
+        word |= (uint32_t)acc << (8 * c);
+      }
+      out_packed[(size_t)p * nb + b] = word;
+    }
+  }
+}
+
 }  // extern "C"

@@ -17,6 +17,13 @@ _REEXEC_FLAG = "_LIMG_TPU_TESTS_REEXEC"
 
 
 def _jax_is_cpu_mesh() -> bool:
+    if (os.environ.get("JAX_PLATFORMS") != "cpu"
+            or os.environ.get("PALLAS_AXON_POOL_IPS")):
+        # don't probe jax.default_backend() here: initializing the backend
+        # with the axon hook active dials the TPU tunnel, which HANGS every
+        # process (even CPU-targeted ones) when the tunnel is down --
+        # re-exec'ing on env evidence alone stays safe either way
+        return False
     import jax
 
     try:

@@ -59,11 +59,23 @@ def main():
         return out
 
     timed("encode_ser", enc)
+
+    def enc_fetch():
+        enc()
+        st = state_box["state"]
+        st["rows"] = np.asarray(st["rows"])
+        st["q"] = np.asarray(st["q"])
+
+    # jax.Array caches the host copy after the first np.asarray, so the
+    # transfer is measured as (fresh encode + fetch) - (fresh encode)
+    timed("encode_fetch", enc_fetch)
+    res["fetch_est_s"] = round(res["encode_fetch_s"] - res["encode_ser_s"], 4)
+    res["q_mbytes"] = round(np.asarray(state_box["state"]["q"]).nbytes / 1e6, 1)
     blob = timed("pack", lambda: serialize_from_state(state_box["state"], cfg))
     res["bytes"] = len(blob)
     res["real_bpp"] = round(len(blob) * 8.0 / (h * w), 4)
     dec, info = timed("parse_dec", lambda: deserialize(blob))
-    res["write_total_s"] = round(res["encode_ser_s"] + res["pack_s"], 4)
+    res["write_total_s"] = round(res["encode_fetch_s"] + res["pack_s"], 4)
     # round-trip exactness vs the in-memory encode is covered by
     # tests/test_bitstream.py; here we just sanity-check shape
     assert dec.shape == (h, w, 4)
