@@ -48,6 +48,9 @@ class LegacyConfig:
     error_factor: int = 100
     has_alpha: bool = False
     dithering: bool = True
+    # pixel-granular boundary growth (the reference's step-of-2 region grow,
+    # src/limg.cpp:508-796); False restores block-aligned coverage only
+    pixel_grow: bool = True
 
     @property
     def channels(self) -> int:
@@ -251,6 +254,66 @@ def encode_legacy_device(image, cfg: LegacyConfig, dither_key, num_levels: int =
     # partial coverage: uncovered pixels fall back to the source
     covered = covered0 > 0
     src = image[..., :ch]
+
+    # -- pixel-granular boundary growth -------------------------------------
+    # The reference grows legacy regions at PIXEL granularity in steps of 2
+    # (limg_encode_attempt_include_pixels / the grow loop at
+    # src/limg.cpp:508-796), so region edges are not block-aligned. Batched
+    # analog: R rounds of 4-direction "parameter transport" -- every
+    # uncovered pixel within 2 px of a covered one borrows that pixel's
+    # region line (a, b, shift), reprojects its own color, crushes at the
+    # region's shift, and joins the region when the decode passes the same
+    # pixel-error acceptance the reference's grow applies. Each round is a
+    # handful of full-plane vector ops; 3 rounds = the reference's typical
+    # 6 px fringe.
+    if cfg.pixel_grow:
+        from .ops.error import weighted_error
+
+        src_i = src.astype(jnp.int32).transpose(2, 0, 1)         # (ch, H, W)
+
+        def shift2(x, d):
+            """Shift a (..., H, W) plane by 2 px from direction d."""
+            if d == 0:
+                return jnp.pad(x[..., 2:, :], [(0, 0)] * (x.ndim - 2) + [(0, 2), (0, 0)])
+            if d == 1:
+                return jnp.pad(x[..., :-2, :], [(0, 0)] * (x.ndim - 2) + [(2, 0), (0, 0)])
+            if d == 2:
+                return jnp.pad(x[..., :, 2:], [(0, 0)] * (x.ndim - 2) + [(0, 0), (0, 2)])
+            return jnp.pad(x[..., :, :-2], [(0, 0)] * (x.ndim - 2) + [(0, 0), (2, 0)])
+
+        grown_px = jnp.zeros((), jnp.int32)
+        dec_hw = decoded.transpose(2, 0, 1)                      # (ch, H, W)
+        for _ in range(3):
+            for d in range(4):
+                cov_s = shift2(covered, d)
+                cand = cov_s & ~covered
+                a_s = shift2(a_plane, d)                         # (ch, H, W)
+                b_s = shift2(b_plane, d)
+                s_s = shift2(shift_plane, d)
+                # reproject this pixel's color onto the borrowed a->b line
+                nrm = (b_s - a_s).astype(jnp.float32)
+                n2 = (nrm * nrm).sum(axis=0)
+                invn = jnp.where(n2 > 0, 1.0 / jnp.maximum(n2, 1e-38), 0.0)
+                v = src_i.astype(jnp.float32) - a_s.astype(jnp.float32)
+                fac = (v * nrm).sum(axis=0) * invn
+                f8 = jnp.clip(jnp.floor(fac * 255.0 + 0.5), 0, 255).astype(jnp.int32)
+                q = f8 >> s_s
+                dec_d = (a_s + (((q << s_s)[None] * (b_s - a_s) + 128) >> 8)) & 0xFF
+                err = weighted_error(dec_d, src_i)
+                ok = cand & (err <= cfg.max_pixel_bit_crush_error)
+                covered = covered | ok
+                grown_px = grown_px + ok.sum()
+                okc = ok[None]
+                dec_hw = jnp.where(okc, dec_d, dec_hw)
+                a_plane = jnp.where(okc, a_s, a_plane)
+                b_plane = jnp.where(okc, b_s, b_plane)
+                shift_plane = jnp.where(ok, s_s, shift_plane)
+                factors = jnp.where(ok, (q << s_s) & 0xFF, factors)
+        decoded = dec_hw.transpose(1, 2, 0).astype(jnp.uint8)
+        stats_grow = grown_px
+    else:
+        stats_grow = jnp.zeros((), jnp.int32)
+
     decoded = jnp.where(covered[..., None], decoded, src)
     if ch == 3:
         decoded = jnp.concatenate(
@@ -259,6 +322,7 @@ def encode_legacy_device(image, cfg: LegacyConfig, dither_key, num_levels: int =
 
     stats = dict(
         covered_px=covered.sum(),
+        grown_px=stats_grow,
         blocks=[a.sum() for a in alive],
         shift_plane=shift_plane,
         bits=((8 - shift_plane) * covered).sum(),
@@ -288,6 +352,7 @@ def encode_legacy(image, cfg: LegacyConfig | None = None, seed: int = 0,
         covered=np.asarray(covered),
         coverage=float(np.asarray(stats["covered_px"])) / total * 100.0,
         total_block_area=int(np.asarray(stats["covered_px"])),
+        grown_px=int(np.asarray(stats["grown_px"])),
         avg_bits=float(np.asarray(stats["bits"])) / max(1, int(np.asarray(stats["covered_px"]))),
         psnr=float(psnr),
         mse=float(mse),

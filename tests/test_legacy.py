@@ -66,3 +66,33 @@ def test_legacy_smooth_gradient_mostly_covered():
     out = encode_legacy(img, LegacyConfig(error_factor=100))
     assert out["coverage"] > 90.0
     assert out["psnr"] > 35.0
+
+
+def test_legacy_pixel_grow_extends_boundaries(rng):
+    """Pixel-granular boundary growth (src/limg.cpp:508-796 analog): a
+    smooth surface whose edge is NOT 8-aligned gets covered past the last
+    accepted block boundary in 2-px steps, with the grown pixels decoded
+    through the borrowed region line (not the lossless fallback)."""
+    h, w = 40, 64
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., 3] = 255
+    # smooth gradient everywhere; hard noise only in x >= 36 (mid-block of
+    # block column 4) so blocks 0..3 fit, block 4 fails its own fit
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    img[..., 0] = np.clip(60 + 2 * x, 0, 255)
+    img[..., 1] = np.clip(40 + y, 0, 255)
+    img[..., 2] = np.clip(90 + x, 0, 255)
+    noise = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    img[:, 36:, :3] = noise[:, 36:]
+
+    grown = encode_legacy(img, LegacyConfig(error_factor=100))
+    flat = encode_legacy(
+        img, LegacyConfig(error_factor=100, pixel_grow=False))
+    assert grown["grown_px"] > 0
+    assert flat["grown_px"] == 0
+    assert grown["coverage"] > flat["coverage"]
+    # growth happens in the 32..36 px fringe left of the noisy band
+    fringe = grown["covered"][:, 32:36] & ~flat["covered"][:, 32:36]
+    assert fringe.any()
+    # grown pixels decode through the region line yet stay acceptable
+    assert grown["psnr"] > 30.0
