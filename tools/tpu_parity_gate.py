@@ -91,6 +91,55 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
                 results[name] = checks
                 if not all(checks.values()):
                     failures.append(name)
+
+    # the K-batched candidate eval kernel (coalesce path): compiled kernel
+    # vs the jnp decode-sim, on the real device, for a K x NB candidate
+    # sweep -- covers the (tile, candidate) grid layout and its unshuffle
+    from limg_tpu.ops.crush import evaluate_shifts
+    from limg_tpu.pallas_kernels.encode_fixed import crush_eval_rows_k_pallas
+
+    for has_alpha in (False, True):
+        src = img4 if has_alpha else np.concatenate(
+            [img3, np.full((h, w, 1), 255, np.uint8)], axis=-1
+        )
+        ch = 4 if has_alpha else 3
+        px, mask, _ = layout.blockify(jnp.asarray(src), 8)
+        px_i = px[:ch].astype(jnp.int32)
+        mask_i = mask.astype(jnp.int32)
+        nb = px.shape[-1]
+        cfg = EncodeConfig(error_factor=100, has_alpha=has_alpha,
+                           dithering=False)
+        res = jax.jit(encode_blocks, static_argnames=("cfg",))(
+            px, mask, cfg, jax.random.PRNGKey(0)
+        )
+        d = res.decomposition
+        from limg_tpu.ops.factors import extract_factors, quantize_factors
+
+        f8_u8 = quantize_factors(*extract_factors(px, d, ch))
+        f8 = [f.astype(jnp.int32) for f in f8_u8]
+        packed = px_i[0] + (px_i[1] << 8)
+        for c in range(2, ch):
+            packed = packed + (px_i[c] << (8 * c))
+        f8_packed = f8[0] + (f8[1] << 8) + (f8[2] << 16)
+        eps = [d.dirA_min, d.dirA_max, d.dirB_offset, d.dirB_mag,
+               d.dirC_offset, d.dirC_mag]
+        k = 5
+        cand = jnp.stack([
+            jnp.clip(res.shifts + dk, 0, 8) for dk in range(-2, 3)
+        ])                                                   # (K, 3, NB)
+        pm_k, be_k = crush_eval_rows_k_pallas(
+            packed, mask_i, f8_packed, eps, cand, ch
+        )
+        ok = True
+        for kk in range(k):
+            pm_j, be_j = evaluate_shifts(px_i, mask_i, jnp.stack(f8), d,
+                                         cand[kk], ch)
+            ok = ok and np.array_equal(np.asarray(pm_j), np.asarray(pm_k[kk]))
+            ok = ok and np.array_equal(np.asarray(be_j), np.asarray(be_k[kk]))
+        name = f"ch{ch}_keval_K{k}"
+        results[name] = {"pm_be": bool(ok)}
+        if not ok:
+            failures.append(name)
     return results, failures
 
 
