@@ -33,6 +33,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .config import BLOCK_SIZE
 from .ops import layout
@@ -281,34 +282,56 @@ def encode_legacy_device(image, cfg: LegacyConfig, dither_key, num_levels: int =
                 return jnp.pad(x[..., :, 2:], [(0, 0)] * (x.ndim - 2) + [(0, 0), (0, 2)])
             return jnp.pad(x[..., :, :-2], [(0, 0)] * (x.ndim - 2) + [(0, 0), (2, 0)])
 
-        grown_px = jnp.zeros((), jnp.int32)
+        # the 3 rounds x 4 directions run as ONE lax.scan step body (the
+        # direction picked by lax.switch): a 12x-unrolled body made the
+        # whole encode_legacy graph large enough to segfault XLA:CPU's
+        # LLVM backend mid-suite, and an unrolled loop is the wrong shape
+        # for XLA anyway. Per-step math is identical to the unrolled form,
+        # so results are bit-identical.
         dec_hw = decoded.transpose(2, 0, 1)                      # (ch, H, W)
-        for _ in range(3):
-            for d in range(4):
-                cov_s = shift2(covered, d)
-                cand = cov_s & ~covered
-                a_s = shift2(a_plane, d)                         # (ch, H, W)
-                b_s = shift2(b_plane, d)
-                s_s = shift2(shift_plane, d)
-                # reproject this pixel's color onto the borrowed a->b line
-                nrm = (b_s - a_s).astype(jnp.float32)
-                n2 = (nrm * nrm).sum(axis=0)
-                invn = jnp.where(n2 > 0, 1.0 / jnp.maximum(n2, 1e-38), 0.0)
-                v = src_i.astype(jnp.float32) - a_s.astype(jnp.float32)
-                fac = (v * nrm).sum(axis=0) * invn
-                f8 = jnp.clip(jnp.floor(fac * 255.0 + 0.5), 0, 255).astype(jnp.int32)
-                q = f8 >> s_s
-                dec_d = (a_s + (((q << s_s)[None] * (b_s - a_s) + 128) >> 8)) & 0xFF
-                err = weighted_error(dec_d, src_i)
-                ok = cand & (err <= cfg.max_pixel_bit_crush_error)
-                covered = covered | ok
-                grown_px = grown_px + ok.sum()
-                okc = ok[None]
-                dec_hw = jnp.where(okc, dec_d, dec_hw)
-                a_plane = jnp.where(okc, a_s, a_plane)
-                b_plane = jnp.where(okc, b_s, b_plane)
-                shift_plane = jnp.where(ok, s_s, shift_plane)
-                factors = jnp.where(ok, (q << s_s) & 0xFF, factors)
+
+        def step(carry, d):
+            covered, grown_px, dec_hw, a_plane, b_plane, shift_plane, factors = carry
+            stack = jnp.concatenate([
+                covered[None].astype(jnp.int32), shift_plane[None],
+                a_plane, b_plane,
+            ], axis=0)
+            stack_s = lax.switch(
+                d, [lambda s, dd=dd: shift2(s, dd) for dd in range(4)], stack
+            )
+            cov_s = stack_s[0] > 0
+            s_s = stack_s[1]
+            a_s = stack_s[2:2 + ch]
+            b_s = stack_s[2 + ch:2 + 2 * ch]
+            cand = cov_s & ~covered
+            # reproject this pixel's color onto the borrowed a->b line
+            nrm = (b_s - a_s).astype(jnp.float32)
+            n2 = (nrm * nrm).sum(axis=0)
+            invn = jnp.where(n2 > 0, 1.0 / jnp.maximum(n2, 1e-38), 0.0)
+            v = src_i.astype(jnp.float32) - a_s.astype(jnp.float32)
+            fac = (v * nrm).sum(axis=0) * invn
+            f8 = jnp.clip(jnp.floor(fac * 255.0 + 0.5), 0, 255).astype(jnp.int32)
+            q = f8 >> s_s
+            dec_d = (a_s + (((q << s_s)[None] * (b_s - a_s) + 128) >> 8)) & 0xFF
+            err = weighted_error(dec_d, src_i)
+            ok = cand & (err <= cfg.max_pixel_bit_crush_error)
+            covered = covered | ok
+            grown_px = grown_px + ok.sum()
+            okc = ok[None]
+            dec_hw = jnp.where(okc, dec_d, dec_hw)
+            a_plane = jnp.where(okc, a_s, a_plane)
+            b_plane = jnp.where(okc, b_s, b_plane)
+            shift_plane = jnp.where(ok, s_s, shift_plane)
+            factors = jnp.where(ok, (q << s_s) & 0xFF, factors)
+            return (covered, grown_px, dec_hw, a_plane, b_plane,
+                    shift_plane, factors), None
+
+        carry0 = (covered, jnp.zeros((), jnp.int32), dec_hw.astype(jnp.int32),
+                  a_plane, b_plane, shift_plane, factors.astype(jnp.int32))
+        d_seq = jnp.tile(jnp.arange(4, dtype=jnp.int32), 3)
+        (covered, grown_px, dec_hw, a_plane, b_plane, shift_plane,
+         factors), _ = lax.scan(step, carry0, d_seq)
+        factors = factors.astype(jnp.uint8)
         decoded = dec_hw.transpose(1, 2, 0).astype(jnp.uint8)
         stats_grow = grown_px
     else:

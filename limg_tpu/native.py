@@ -57,6 +57,10 @@ def _lib():
     if _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("LIMG_TPU_DISABLE_NATIVE"):
+        # escape hatch: force every entry point onto its NumPy fallback
+        # (A/B debugging of suspected native-side memory issues)
+        return None
     path = _find_or_build_lib()
     if path is None:
         return None
@@ -374,6 +378,10 @@ def rans_decode(data: bytes, freqs: np.ndarray, n: int) -> np.ndarray:
 
 
 def factor_kernels_available() -> bool:
+    if os.environ.get("LIMG_TPU_DISABLE_NATIVE_FACTOR"):
+        # escape hatch: force the NumPy formulation (A/B debugging, fallback
+        # benchmarking); streams are byte-identical either way
+        return False
     lib = _lib()
     return lib is not None and hasattr(lib, "limg_rt_factor_extract")
 
