@@ -1090,24 +1090,21 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         # per-block endpoint rows for the 6 endpoint-color debug planes
         # (src/main.cpp:363-368); the CLI broadcasts them to pixels on host
         out["endpoint_rows"] = jnp.concatenate(list(lv0["decomp"][1:7]), axis=0)
-        # all per-block byte planes broadcast in ONE u8 pass (separate i32
-        # broadcasts cost ~4x the bytes and 5x the relayouts)
-        rows8 = jnp.concatenate([
+        # per-block-constant planes (shift/bpp/owner/region-id) ship as
+        # (rows, NB) -- ~1 MB on a 4K; the host wrapper expands them with
+        # np.repeat. Broadcasting them to pixels on device cost ~73 MB of
+        # HBM writes + tunnel transfer per encode for bytes that are pure
+        # 8x8 repetition.
+        rid_blk = (jnp.where(run_applied, run_region_id, lead0)
+                   if run_region_id is not None else lead0)
+        out["block_rows8"] = jnp.concatenate([
             s_eff0, lv0["bpp_block"][None], owner0[None]
         ], axis=0).astype(jnp.uint8)                      # (5, NB)
-        planes8 = layout.broadcast_block_plane(rows8, grid0, BLOCK_SIZE)
-        out["shift"] = planes8[:3]
-        out["bpp"] = planes8[3]
-        out["owner_px"] = planes8[4]
+        out["region_rows"] = owner0 * nb + rid_blk        # (NB,) i32
         q = jnp.stack([(lv0["q_packed"] >> (8 * k)) & 0xFF for k in range(3)])
         f_shifted = (q << s_eff0[:, None, :]) & 0xFF
         out["factors"] = layout.unblockify(
             f_shifted.astype(jnp.uint8), grid0, BLOCK_SIZE
-        )
-        rid_blk = (jnp.where(run_applied, run_region_id, lead0)
-                   if run_region_id is not None else lead0)
-        out["region_id"] = layout.broadcast_block_plane(
-            owner0 * nb + rid_blk, grid0, BLOCK_SIZE
         )
     if return_state:
         # LTP1 serializer state: owner level, owner-region shifts/endpoints
@@ -1209,14 +1206,36 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
         },
     )
     if fetch_planes:
-        np_out.update(
-            factors=np.asarray(out["factors"]),
-            shift=np.asarray(out["shift"].astype(jnp.uint8)),
-            bpp=np.asarray(out["bpp"].astype(jnp.uint8)),
-            region_id=np.asarray(out["region_id"]),
-            owner_px=np.asarray(out["owner_px"].astype(jnp.uint8)),
-            endpoint_rows=np.asarray(out["endpoint_rows"]),
-        )
+        if "block_rows8" in out:
+            # fused path ships per-block rows; expand the 8x8-constant
+            # planes host-side (pure np.repeat -- the device-side broadcast
+            # plus transfer of ~73 MB/4K was most of the emit_planes cost)
+            h, w = image.shape[0], image.shape[1]
+            by, bx = -(-h // BLOCK_SIZE), -(-w // BLOCK_SIZE)
+
+            def expand(rows):
+                v = np.asarray(rows).reshape(-1, by, bx)
+                v = np.repeat(np.repeat(v, BLOCK_SIZE, 1), BLOCK_SIZE, 2)
+                return v[:, :h, :w]
+
+            rows8 = np.asarray(out["block_rows8"])
+            np_out.update(
+                factors=np.asarray(out["factors"]),
+                shift=expand(rows8[:3]),
+                bpp=expand(rows8[3])[0],
+                region_id=expand(np.asarray(out["region_rows"]))[0],
+                owner_px=expand(rows8[4])[0],
+                endpoint_rows=np.asarray(out["endpoint_rows"]),
+            )
+        else:
+            np_out.update(
+                factors=np.asarray(out["factors"]),
+                shift=np.asarray(out["shift"].astype(jnp.uint8)),
+                bpp=np.asarray(out["bpp"].astype(jnp.uint8)),
+                region_id=np.asarray(out["region_id"]),
+                owner_px=np.asarray(out["owner_px"].astype(jnp.uint8)),
+                endpoint_rows=np.asarray(out["endpoint_rows"]),
+            )
     if return_state:
         for arr in (out["ser_rows"], out["ser_q"]):
             if hasattr(arr, "copy_to_host_async"):

@@ -92,6 +92,10 @@ def main():
     # inputs captured from the real pass
     run("c_full", lambda: full(True))
 
+    # planes emission on top (block rows + factors plane since round 3)
+    run("full_planes", lambda: encode_image_merged_fused_device(
+        img, cfg, key, 3, emit_planes=True, coalesce=True)["decoded_words"])
+
     # isolate segment fit + shifts on the real compacted geometry
     from limg_tpu.ops.segments import fit_segments, find_shifts_segments
 
