@@ -55,6 +55,22 @@ def seg_sum(x: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int) -> jnp.ndarr
 # guarantee this), every reduction becomes two log2(SEG_CAP)-step doubling
 # scans (shift + same-segment guard + combine) -- pure vector ops.
 
+def _use_scan_kernel(n: int) -> bool:
+    """Route doubling-scan chains through the Pallas halo-tile kernel on
+    accelerator backends: the jnp chain lowers to log2(SEG_CAP) x 6 small
+    XLA concat/select ops whose launch + HBM round-trips dominated the
+    coalesce pass (tools/profiling/coalesce_stages.py); the kernel runs the
+    whole chain in VMEM, bit-identically (pallas_kernels/seg_scan.py)."""
+    import jax
+
+    return jax.default_backend() != "cpu" and n >= 1024
+
+
+# with lanes >= 1024 (the kernel threshold) min(SEG_CAP, n) == SEG_CAP, so
+# the jnp chain and the kernel both run exactly this many steps
+_SCAN_STEPS = SEG_CAP.bit_length() - 1
+
+
 def _shift_right(x, d, fill):
     pad = jnp.broadcast_to(jnp.asarray(fill, x.dtype), (*x.shape[:-1], d))
     return jnp.concatenate([pad, x[..., :-d]], axis=-1)
@@ -68,6 +84,20 @@ def _shift_left(x, d, fill):
 def _seg_all_reduce_contig(x, seg_c, op, init, is_sum: bool):
     """Reduce-to-all over contiguous segments: out[i] = reduce over j with
     seg_c[j] == seg_c[i]. seg_c: (N,) i32, the segment's first position."""
+    if _use_scan_kernel(x.shape[-1]):
+        from ..pallas_kernels.seg_scan import seg_mixed_all_pallas
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        neg = op is jnp.minimum            # min == -max(-x), exact
+        if neg:
+            x2 = -x2
+        out = seg_mixed_all_pallas(
+            x2, seg_c, x2.shape[0] if is_sum else 0, init, _SCAN_STEPS
+        )
+        if neg:
+            out = -out
+        return out.reshape(*lead, x.shape[-1])
     fwd = x
     bwd = x
     d = 1
@@ -133,6 +163,15 @@ def seg_mixed_all(x, seg_c, n_sum: int, init_max):
     every reduction of a stage into ONE chain is what matters on TPU -- each
     separate scan emits log2(SEG_CAP) x 6 small XLA ops of pure launch
     overhead (tools/profiling/coalesce_stages.py)."""
+    if _use_scan_kernel(x.shape[-1]):
+        from ..pallas_kernels.seg_scan import seg_mixed_all_pallas
+
+        return seg_mixed_all_pallas(x, seg_c, n_sum, init_max, _SCAN_STEPS)
+    return seg_mixed_all_jnp(x, seg_c, n_sum, init_max)
+
+
+def seg_mixed_all_jnp(x, seg_c, n_sum: int, init_max):
+    """The jnp doubling-scan chain (CPU path; the kernel's parity oracle)."""
     r = x.shape[0]
     init_max = jnp.asarray(init_max, x.dtype)
     is_sum_row = (jnp.arange(r) < n_sum)[:, None]          # (R, 1)

@@ -195,3 +195,63 @@ def test_crush_eval_rows_matches_evaluate_shifts(setup):
                                         shifts, ch, interpret=True)
     np.testing.assert_array_equal(np.asarray(pm_ref), np.asarray(pm_k))
     np.testing.assert_array_equal(np.asarray(be_ref), np.asarray(be_k))
+
+
+def _contig_segments(rng, n, cap):
+    seg = np.zeros(n, np.int32)
+    i = 0
+    while i < n:
+        w = min(int(rng.integers(1, cap + 1)), n - i)
+        seg[i:i + w] = i
+        i += w
+    return seg
+
+
+@pytest.mark.parametrize("n", [1024, 3000, 8192])
+@pytest.mark.parametrize("n_sum,rows,dtype", [
+    (4, 4, np.float32),    # pure sums (fit count + channel sums)
+    (0, 6, np.float32),    # pure max (factor min/max rows)
+    (2, 4, np.int32),      # mixed (block-err sums + pixel-max rows)
+])
+def test_seg_scan_kernel_matches_jnp_chain(n, n_sum, rows, dtype):
+    """The Pallas halo-tile segment-scan kernel is bit-identical to the jnp
+    doubling-scan chain it replaces on accelerators (seg id == first member
+    position, members contiguous -- the compacted run-buffer layout)."""
+    from limg_tpu.ops.segments import seg_mixed_all, SEG_CAP
+    from limg_tpu.pallas_kernels.seg_scan import seg_mixed_all_pallas
+
+    rng = np.random.default_rng(n * 31 + n_sum)
+    seg = _contig_segments(rng, n, SEG_CAP)
+    if dtype == np.float32:
+        x = (rng.normal(size=(rows, n)) * 100).astype(np.float32)
+        init = np.float32(0.0 if n_sum == rows else -3.4e38)
+    else:
+        x = rng.integers(0, 1 << 20, size=(rows, n)).astype(np.int32)
+        init = np.int32(0)
+    a = np.asarray(seg_mixed_all(jnp.asarray(x), jnp.asarray(seg), n_sum, init))
+    b = np.asarray(seg_mixed_all_pallas(
+        jnp.asarray(x), jnp.asarray(seg), n_sum, init,
+        SEG_CAP.bit_length() - 1, interpret=True,
+    ))
+    assert np.array_equal(a, b)
+
+
+def test_seg_scan_kernel_min_via_negation():
+    """seg_min_all's kernel route (-max(-x)) is exact vs the jnp minimum."""
+    from limg_tpu.ops.segments import _seg_all_reduce_contig, SEG_CAP
+    from limg_tpu.pallas_kernels.seg_scan import seg_mixed_all_pallas
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    seg = _contig_segments(rng, n, SEG_CAP)
+    x = rng.integers(-(1 << 20), 1 << 20, size=(3, n)).astype(np.int32)
+    ref = np.asarray(_seg_all_reduce_contig(
+        jnp.asarray(x), jnp.asarray(seg), jnp.minimum,
+        jnp.int32(np.iinfo(np.int32).max), False,
+    ))
+    out = -np.asarray(seg_mixed_all_pallas(
+        jnp.asarray(-x), jnp.asarray(seg), 0,
+        jnp.int32(np.iinfo(np.int32).min), SEG_CAP.bit_length() - 1,
+        interpret=True,
+    ))
+    assert np.array_equal(ref, out)

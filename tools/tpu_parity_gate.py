@@ -140,6 +140,40 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
         results[name] = {"pm_be": bool(ok)}
         if not ok:
             failures.append(name)
+
+    # the segment-scan kernel (coalesce reductions): compiled halo-tile
+    # kernel vs the jnp doubling-scan chain, on the real device, for every
+    # (sum/max/mixed) x (f32/i32) combination the coalesce pass uses
+    from limg_tpu.ops.segments import seg_mixed_all_jnp, SEG_CAP
+    from limg_tpu.pallas_kernels.seg_scan import seg_mixed_all_pallas
+
+    rng2 = np.random.default_rng(17)
+    for n in (2048, 33000):
+        seg = np.zeros(n, np.int32)
+        i = 0
+        while i < n:
+            wdt = min(int(rng2.integers(1, SEG_CAP + 1)), n - i)
+            seg[i:i + wdt] = i
+            i += wdt
+        for n_sum, rows, dt in ((4, 4, np.float32), (0, 6, np.float32),
+                                (9, 18, np.int32)):
+            if dt == np.float32:
+                x = (rng2.normal(size=(rows, n)) * 100).astype(np.float32)
+                init = np.float32(0.0 if n_sum == rows else -3.4e38)
+            else:
+                x = rng2.integers(0, 1 << 20, size=(rows, n)).astype(np.int32)
+                init = np.int32(0)
+            a = np.asarray(seg_mixed_all_jnp(
+                jnp.asarray(x), jnp.asarray(seg), n_sum, init
+            ))
+            b = np.asarray(seg_mixed_all_pallas(
+                jnp.asarray(x), jnp.asarray(seg), n_sum, init,
+                SEG_CAP.bit_length() - 1,
+            ))
+            name = f"segscan_n{n}_sum{n_sum}of{rows}_{np.dtype(dt).name}"
+            results[name] = {"exact": bool(np.array_equal(a, b))}
+            if not np.array_equal(a, b):
+                failures.append(name)
     return results, failures
 
 
