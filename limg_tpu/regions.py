@@ -1101,11 +1101,12 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
             s_eff0, lv0["bpp_block"][None], owner0[None]
         ], axis=0).astype(jnp.uint8)                      # (5, NB)
         out["region_rows"] = owner0 * nb + rid_blk        # (NB,) i32
+        # factors ship block-major (3, P, NB) u8: the device-side unblockify
+        # relayout of a non-row-major u8 plane lowers poorly on TPU (CLAUDE.md
+        # perf lore) and the bytes are the same; the host wrapper restores
+        # (H, W, 3) with a numpy transpose
         q = jnp.stack([(lv0["q_packed"] >> (8 * k)) & 0xFF for k in range(3)])
-        f_shifted = (q << s_eff0[:, None, :]) & 0xFF
-        out["factors"] = layout.unblockify(
-            f_shifted.astype(jnp.uint8), grid0, BLOCK_SIZE
-        )
+        out["factors_pnb"] = ((q << s_eff0[:, None, :]) & 0xFF).astype(jnp.uint8)
     if return_state:
         # LTP1 serializer state: owner level, owner-region shifts/endpoints
         # (broadcast to member blocks; run refits applied), crushed factors,
@@ -1218,9 +1219,17 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
                 v = np.repeat(np.repeat(v, BLOCK_SIZE, 1), BLOCK_SIZE, 2)
                 return v[:, :h, :w]
 
+            # block-major factor planes -> (H, W, 3) on host (mirror of
+            # layout.unblockify, pure numpy)
+            f = np.asarray(out["factors_pnb"]).reshape(
+                3, BLOCK_SIZE, BLOCK_SIZE, by, bx
+            )
+            factors = f.transpose(3, 1, 4, 2, 0).reshape(
+                by * BLOCK_SIZE, bx * BLOCK_SIZE, 3
+            )[:h, :w]
             rows8 = np.asarray(out["block_rows8"])
             np_out.update(
-                factors=np.asarray(out["factors"]),
+                factors=factors,
                 shift=expand(rows8[:3]),
                 bpp=expand(rows8[3])[0],
                 region_id=expand(np.asarray(out["region_rows"]))[0],

@@ -160,3 +160,25 @@ def test_fused_state_serializes_exactly():
     dec, info = deserialize(blob)
     assert np.array_equal(dec, out["decoded"])
     assert info["n_segments"] < 6 * 9     # some squares actually merged
+
+
+def test_host_factor_unblockify_mirror():
+    """The host-side numpy transpose that restores (H, W, 3) factors from the
+    fused driver's block-major (3, P, NB) planes is exactly
+    layout.unblockify (regions.encode_image_merged fetch_planes path)."""
+    import jax.numpy as jnp
+    from limg_tpu.ops import layout
+    from limg_tpu.config import BLOCK_SIZE
+
+    rng2 = np.random.default_rng(3)
+    h, w = 37, 53
+    g = layout.grid_for(h, w, BLOCK_SIZE)
+    by, bx = g.blocks_y, g.blocks_x
+    x = rng2.integers(0, 256, (3, BLOCK_SIZE * BLOCK_SIZE, g.num_blocks))
+    x = x.astype(np.uint8)
+    ref = np.asarray(layout.unblockify(jnp.asarray(x), g, BLOCK_SIZE))
+    f = x.reshape(3, BLOCK_SIZE, BLOCK_SIZE, by, bx)
+    host = f.transpose(3, 1, 4, 2, 0).reshape(
+        by * BLOCK_SIZE, bx * BLOCK_SIZE, 3
+    )[:h, :w]
+    assert np.array_equal(ref, host)
