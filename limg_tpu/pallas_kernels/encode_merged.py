@@ -87,6 +87,62 @@ def morton_perm(blocks_y: int, blocks_x: int, levels: int):
     return perm, byp, bxp
 
 
+def morton_embed_rows(rows, blocks_y: int, blocks_x: int, levels: int):
+    """Row-major block lanes -> Morton lanes as a pure reshape/transpose.
+
+    ``rows``: (..., blocks_y*blocks_x). Returns (..., byp*bxp) in the exact
+    lane order of ``morton_perm`` with grid-padding lanes zero-filled.
+
+    The Morton layout is *structured* (row-major supercells of g x g blocks,
+    bit-interleaved within), so the permutation factors into a static
+    reshape/transpose chain. XLA lowers transposes to near-bandwidth copies
+    on TPU, while the equivalent lane gather (``x[:, perm]``) lowers to a
+    serial ~1 ms loop per plane (CLAUDE.md perf lore) -- on the 33 MB pixel
+    planes of a 4K this is the difference between glue and noise.
+    """
+    g = 1 << (levels - 1)
+    L = levels - 1
+    byp = -(-blocks_y // g) * g
+    bxp = -(-blocks_x // g) * g
+    lead = rows.shape[:-1]
+    x = rows.reshape(*lead, blocks_y, blocks_x)
+    if byp != blocks_y or bxp != blocks_x:
+        pad = [(0, 0)] * len(lead) + [(0, byp - blocks_y), (0, bxp - blocks_x)]
+        x = jnp.pad(x, pad)
+    nl = len(lead)
+    # dims after reshape: lead..., scr, y_{L-1}..y_0, scc, x_{L-1}..x_0
+    x = x.reshape(*lead, byp // g, *([2] * L), bxp // g, *([2] * L))
+    perm = (list(range(nl)) + [nl, nl + L + 1]
+            + [i for b in range(L) for i in (nl + 1 + b, nl + L + 2 + b)])
+    return x.transpose(perm).reshape(*lead, byp * bxp)
+
+
+def morton_restore_rows(rows_m, blocks_y: int, blocks_x: int, levels: int):
+    """Morton lanes -> row-major block lanes (inverse of morton_embed_rows).
+
+    ``rows_m``: (..., byp*bxp). Returns (..., blocks_y*blocks_x) with the
+    grid-padding lanes dropped. Replaces the driver's ``to_orig`` inverse-
+    permutation gather with a transpose chain (see morton_embed_rows).
+    """
+    g = 1 << (levels - 1)
+    L = levels - 1
+    byp = -(-blocks_y // g) * g
+    bxp = -(-blocks_x // g) * g
+    lead = rows_m.shape[:-1]
+    nl = len(lead)
+    # dims after reshape: lead..., scr, scc, y_{L-1}, x_{L-1}, .., y_0, x_0
+    x = rows_m.reshape(*lead, byp // g, bxp // g,
+                       *([2] * (2 * L)))
+    perm = (list(range(nl)) + [nl]
+            + [nl + 2 + 2 * b for b in range(L)]          # y bits msb..lsb
+            + [nl + 1]
+            + [nl + 3 + 2 * b for b in range(L)])         # x bits msb..lsb
+    x = x.transpose(perm).reshape(*lead, byp, bxp)
+    if byp != blocks_y or bxp != blocks_x:
+        x = x[..., :blocks_y, :blocks_x]
+    return x.reshape(*lead, blocks_y * blocks_x)
+
+
 def _butterfly(row, d: int, op, lanes: int, lane_iota):
     """One butterfly step: combine each lane with its partner at lane^d.
 

@@ -894,18 +894,14 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         px, mask, grid0 = layout.blockify(image, BLOCK_SIZE)
         packed = pack_channels(px)
     nb = grid0.num_blocks
-    perm, byp, bxp = em.morton_perm(grid0.blocks_y, grid0.blocks_x, num_levels)
-    nbp = perm.size
-    safe = jnp.asarray(np.maximum(perm, 0))
-    valid = jnp.asarray(perm >= 0)
-    packed_m = jnp.where(valid[None, :], packed[:, safe], 0)
-    mask_m = (mask[:, safe] & valid[None, :]).astype(jnp.int32)
-    inv = np.empty(nb, np.int64)
-    inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
-    inv_j = jnp.asarray(inv)
+    by0, bx0 = grid0.blocks_y, grid0.blocks_x
+    # Morton embed/restore as pure reshape/transpose chains (the equivalent
+    # lane gathers lower to serial loops on TPU; morton_embed_rows docstring)
+    packed_m = em.morton_embed_rows(packed, by0, bx0, num_levels)
+    mask_m = em.morton_embed_rows(mask.astype(jnp.int32), by0, bx0, num_levels)
 
     def to_orig(x):
-        return x[..., inv_j]
+        return em.morton_restore_rows(x, by0, bx0, num_levels)
 
     kspec = KernelSpec.from_config(cfg)
     seed = jax.random.randint(dither_key, (), 0, 2**31 - 1, jnp.int32)
@@ -954,13 +950,11 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
 
     header = static_block_bits(ch)
 
-    # ---- orig-order level-0 rows: one stacked gather for the small rows,
-    # separate multi-row gathers for the big pixel planes (single-row
-    # conversions lower to ~1 ms serial loops on TPU) -------------------------
+    # ---- orig-order level-0 rows: one stacked restore for the small rows,
+    # separate multi-row restores for the big pixel planes ---------------------
     from .ops.segments import SEG_CAP
 
     grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
-    by0, bx0 = grid0.blocks_y, grid0.blocks_x
     cnt_blk_m = mask_m.sum(axis=0)
     rows = to_orig(jnp.concatenate(
         [owner[None], cnt_blk_m[None], bpp_m, shifts_m, *eps_sel], axis=0,
@@ -1012,18 +1006,17 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                 # (the only ones build_runs links)
                 d_ls.append(Decomposition(avg0, *ep_rows))
             else:
-                # leader-lane fit rows -> original level-L grid order: for
-                # level-L cell (Y, X), its Morton leader lane via perm
+                # leader-lane fit rows -> original level-L grid order: the
+                # stride-4^L leader lanes are the level-L cells in a
+                # (num_levels - L)-level Morton order, so the same
+                # reshape/transpose restore applies (no gathers)
                 s = 4 ** lvl
-                p0 = perm[:: s].copy()                    # leader lanes' blk0
-                lane_idx = np.zeros(grid_l.num_blocks, np.int64)
-                real = p0 >= 0
-                flat_l = ((p0[real] // bx0) >> lvl) * grid_l.blocks_x + (
-                    (p0[real] % bx0) >> lvl)
-                lane_idx[flat_l] = np.nonzero(real)[0] * s
-                rows_l = jnp.concatenate(
-                    [fit[lvl]["avg"], *fit[lvl]["endpoints"]], axis=0
-                )[:, jnp.asarray(lane_idx)]
+                rows_l = em.morton_restore_rows(
+                    jnp.concatenate(
+                        [fit[lvl]["avg"], *fit[lvl]["endpoints"]], axis=0
+                    )[:, ::s],
+                    grid_l.blocks_y, grid_l.blocks_x, num_levels - lvl,
+                )
                 d_ls.append(Decomposition(
                     rows_l[:ch],
                     *(rows_l[ch * (1 + k):ch * (2 + k)] for k in range(6)),

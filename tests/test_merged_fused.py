@@ -142,6 +142,34 @@ def test_morton_perm_random_grids(levels):
                 assert np.unique(xs // side).size == 1
 
 
+@pytest.mark.parametrize("levels", [2, 3, 4])
+def test_morton_embed_restore_match_gather(levels):
+    """The reshape/transpose Morton embed/restore (the TPU-friendly relayout
+    the fused driver uses) is bit-identical to the perm/inverse-perm gathers,
+    including zero fill of grid-padding lanes and non-multiple-of-g grids."""
+    import jax.numpy as jnp
+    from limg_tpu.pallas_kernels.encode_merged import (
+        morton_embed_rows, morton_restore_rows,
+    )
+
+    rng2 = np.random.default_rng(100 + levels)
+    for _ in range(4):
+        by, bx = int(rng2.integers(1, 40)), int(rng2.integers(1, 40))
+        perm, byp, bxp = morton_perm(by, bx, levels)
+        nb = by * bx
+        x = rng2.integers(0, 1 << 30, (3, nb)).astype(np.int32)
+        safe = np.maximum(perm, 0)
+        ref_m = np.where(perm[None, :] >= 0, x[:, safe], 0)
+        got_m = np.asarray(morton_embed_rows(jnp.asarray(x), by, bx, levels))
+        assert np.array_equal(ref_m, got_m)
+        inv = np.empty(nb, np.int64)
+        inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+        got_o = np.asarray(
+            morton_restore_rows(jnp.asarray(ref_m), by, bx, levels)
+        )
+        assert np.array_equal(ref_m[:, inv], got_o)
+
+
 def test_fused_state_serializes_exactly():
     """The fused encode's serializer state round-trips bit-exactly through
     LTP1 v5 (the production CLI path: one encode serves stats + stream)."""
