@@ -99,12 +99,20 @@ def morton_embed_rows(rows, blocks_y: int, blocks_x: int, levels: int):
     on TPU, while the equivalent lane gather (``x[:, perm]``) lowers to a
     serial ~1 ms loop per plane (CLAUDE.md perf lore) -- on the 33 MB pixel
     planes of a 4K this is the difference between glue and noise.
+
+    Both relayouts are fenced with optimization_barrier on input and output:
+    left to itself XLA pushes the chain's reshape through producer concats
+    (per-operand copies whose (2,2) minor dims tile at 4/1024 utilization)
+    and re-fuses the transpose into every consumer -- measured ~3 ms per 4K
+    merged encode (tools/profiling/driver_barrier_variants.py). The fences
+    make each relayout ONE materialized near-bandwidth copy.
     """
     g = 1 << (levels - 1)
     L = levels - 1
     byp = -(-blocks_y // g) * g
     bxp = -(-blocks_x // g) * g
     lead = rows.shape[:-1]
+    rows = jax.lax.optimization_barrier(rows)
     x = rows.reshape(*lead, blocks_y, blocks_x)
     if byp != blocks_y or bxp != blocks_x:
         pad = [(0, 0)] * len(lead) + [(0, byp - blocks_y), (0, bxp - blocks_x)]
@@ -114,7 +122,9 @@ def morton_embed_rows(rows, blocks_y: int, blocks_x: int, levels: int):
     x = x.reshape(*lead, byp // g, *([2] * L), bxp // g, *([2] * L))
     perm = (list(range(nl)) + [nl, nl + L + 1]
             + [i for b in range(L) for i in (nl + 1 + b, nl + L + 2 + b)])
-    return x.transpose(perm).reshape(*lead, byp * bxp)
+    return jax.lax.optimization_barrier(
+        x.transpose(perm).reshape(*lead, byp * bxp)
+    )
 
 
 def morton_restore_rows(rows_m, blocks_y: int, blocks_x: int, levels: int):
@@ -122,7 +132,8 @@ def morton_restore_rows(rows_m, blocks_y: int, blocks_x: int, levels: int):
 
     ``rows_m``: (..., byp*bxp). Returns (..., blocks_y*blocks_x) with the
     grid-padding lanes dropped. Replaces the driver's ``to_orig`` inverse-
-    permutation gather with a transpose chain (see morton_embed_rows).
+    permutation gather with a transpose chain (see morton_embed_rows, incl.
+    the optimization_barrier fencing rationale).
     """
     g = 1 << (levels - 1)
     L = levels - 1
@@ -130,6 +141,7 @@ def morton_restore_rows(rows_m, blocks_y: int, blocks_x: int, levels: int):
     bxp = -(-blocks_x // g) * g
     lead = rows_m.shape[:-1]
     nl = len(lead)
+    rows_m = jax.lax.optimization_barrier(rows_m)
     # dims after reshape: lead..., scr, scc, y_{L-1}, x_{L-1}, .., y_0, x_0
     x = rows_m.reshape(*lead, byp // g, bxp // g,
                        *([2] * (2 * L)))
@@ -140,7 +152,9 @@ def morton_restore_rows(rows_m, blocks_y: int, blocks_x: int, levels: int):
     x = x.transpose(perm).reshape(*lead, byp, bxp)
     if byp != blocks_y or bxp != blocks_x:
         x = x[..., :blocks_y, :blocks_x]
-    return x.reshape(*lead, blocks_y * blocks_x)
+    return jax.lax.optimization_barrier(
+        x.reshape(*lead, blocks_y * blocks_x)
+    )
 
 
 def _butterfly(row, d: int, op, lanes: int, lane_iota):
