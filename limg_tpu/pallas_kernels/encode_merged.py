@@ -157,6 +157,60 @@ def morton_restore_rows(rows_m, blocks_y: int, blocks_x: int, levels: int):
     )
 
 
+def morton_blockify_packed(packed2d, h: int, w: int, levels: int):
+    """(H, W) packed-word image -> (64, NBP) Morton block lanes.
+
+    Two XLA relayouts: blockify, then the Morton lane embed. A fused
+    single reshape/transpose chain was MEASURED SLOWER on device (the
+    direct (H, W) -> 8-D Morton reshape forces T(2,128) tiling over the
+    whole image: ~2.3 ms reshape + 1.6 ms copy per 4K, vs ~1.6 ms total
+    for this two-pass chain whose (by, 8, bx, 8) blockify stays
+    T(8,128)-friendly and whose embed then permutes whole lanes --
+    tools/profiling/xplane_ops.py, 2026-08-18)."""
+    from ..ops import layout
+
+    packed, _, grid = layout.blockify_packed(packed2d)
+    return morton_embed_rows(packed, grid.blocks_y, grid.blocks_x, levels)
+
+
+def morton_unblockify(rows64_m, h: int, w: int, levels: int):
+    """(64, NBP) Morton pixel plane -> (H, W); inverse of
+    morton_blockify_packed (same two-pass rationale: restore lanes, then
+    the T(8,128)-friendly unblockify)."""
+    from ..ops import layout
+
+    grid = layout.grid_for(h, w)
+    rows = morton_restore_rows(rows64_m, grid.blocks_y, grid.blocks_x, levels)
+    return layout.unblockify(rows[None], grid)[..., 0]
+
+
+def morton_mask(h: int, w: int, levels: int):
+    """(64, NBP) i32 validity mask in Morton lane order, built ELEMENTWISE:
+    each (lane, position) pair decodes to its pixel (row, col) with bit
+    arithmetic, so XLA emits one fused iota/compare kernel -- no relayout
+    copies and no 33 MB compile-time mask constant (which the blockify
+    route bakes into the executable). Bit-identical to
+    morton_embed_rows(blockify mask) by test_merged_fused.py."""
+    g = 1 << (levels - 1)
+    L = levels - 1
+    by, bx = -(-h // 8), -(-w // 8)
+    byp, bxp = -(-by // g) * g, -(-bx // g) * g
+    scx_n = bxp // g
+    # position bits (see morton_embed_rows): [sc, y_{L-1}, x_{L-1}, ...,
+    # y_0, x_0] with sc = scy * scx_n + scx row-major over supercells
+    p = jax.lax.broadcasted_iota(jnp.int32, (64, byp * bxp), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (64, byp * bxp), 0)
+    sc = p >> (2 * L)
+    yb = jnp.zeros_like(p)
+    xb = jnp.zeros_like(p)
+    for b in range(L):
+        yb = yb | (((p >> (2 * b + 1)) & 1) << b)
+        xb = xb | (((p >> (2 * b)) & 1) << b)
+    row = ((sc // scx_n) * g + yb) * 8 + (lane >> 3)
+    col = ((sc % scx_n) * g + xb) * 8 + (lane & 7)
+    return ((row < h) & (col < w)).astype(jnp.int32)
+
+
 def _butterfly(row, d: int, op, lanes: int, lane_iota):
     """One butterfly step: combine each lane with its partner at lane^d.
 

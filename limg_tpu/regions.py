@@ -488,12 +488,19 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
 def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
                       cfg: EncodeConfig, key, merge_policy: str,
                       rd_lambda, cap_frac: int = 4,
-                      header_bits: int | None = None):
+                      header_bits: int | None = None, mpos=None):
     """Segment refit/crush engine shared by the per-level and the unified
     multi-level coalesce: re-encodes the ``is_run`` blocks grouped by
     ``seg_id`` (each segment's leader flat index) and writes accepted
     segments back into the ``lv`` planes. Geometry-agnostic -- callers
-    decide what links into a segment (build_runs at any quadtree level)."""
+    decide what links into a segment (build_runs at any quadtree level).
+
+    ``mpos`` (NB,) i32, optional: when given, the big pixel planes
+    (``packed_blk``, ``mask``, ``lv["dec_packed"]``, ``lv["q_packed"]``)
+    are in MORTON lane order (NBP lanes) and ``mpos[b]`` is block b's
+    Morton position -- the fused driver keeps those planes Morton-resident
+    so each pays exactly one relayout for the whole encode. All other rows
+    stay in original block order."""
     from jax import lax
     from .ops.segments import (
         fit_segments, find_shifts_segments, seg_mixed_all,
@@ -504,7 +511,7 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     from .ops.error import weighted_error
 
     ch = cfg.channels
-    nb = packed_blk.shape[-1]
+    nb = seg_id.shape[-1]
 
     # -- compact run blocks into a fixed-capacity buffer --------------------
     # Sorting by (is_run, seg_id) makes every segment's members CONTIGUOUS
@@ -521,17 +528,20 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     rows_i = jnp.stack([
         seg_id, is_run.astype(jnp.int32), lv["bits"],
         lax.bitcast_convert_type(lv["dist"].astype(jnp.float32), jnp.int32),
-    ])[:, sel]                                                   # (4, cap)
+    ] + ([] if mpos is None else [mpos]))[:, sel]                # (4|5, cap)
     seg_orig = rows_i[0]
     sel_is_run = rows_i[1].astype(bool)
     old_bits_sel = rows_i[2]
+    # Morton-plane addresses of the selected blocks (== sel when the planes
+    # are in original order)
+    sel_p = rows_i[4] if mpos is not None else sel
     if header_bits is not None:
         # lv["bits"] was computed with the static header estimate; swap in
         # the real header so old and new costs use the same units
         old_bits_sel = old_bits_sel + (header_bits - static_block_bits(ch))
     old_dist_sel = lax.bitcast_convert_type(rows_i[3], jnp.float32)
-    packed_c = packed_blk[:, sel]                                # (P, cap)
-    mask_c = mask[:, sel] & sel_is_run[None, :]
+    packed_c = packed_blk[:, sel_p]                              # (P, cap)
+    mask_c = mask[:, sel_p].astype(bool) & sel_is_run[None, :]
     px_c = jnp.stack([(packed_c >> (8 * c)) & 0xFF for c in range(ch)])
     # contiguous remap: new id = first position of the segment in the buffer
     pos = jnp.arange(cap, dtype=jnp.int32)
@@ -619,18 +629,23 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # per-block rows (shifts/bits/bpp/endpoints, dist/avg) are combined into
     # ONE i32 and ONE f32 multi-row scatter, and the two big pixel planes
     # stay as their own multi-row scatters
-    def put(dst, src_c):
-        upd = jnp.where(accept, src_c, dst[..., sel])
-        return dst.at[..., sel].set(upd)
+    def put_at(idx):
+        def put(dst, src_c):
+            upd = jnp.where(accept, src_c, dst[..., idx])
+            return dst.at[..., idx].set(upd)
+        return put
+
+    put = put_at(sel)
+    put_plane = put_at(sel_p)                    # Morton planes when mpos
 
     dec_packed_c = _pack_dec_jnp(decoded, ch)
     lv = dict(lv)
-    lv["dec_packed"] = put(lv["dec_packed"], dec_packed_c)
+    lv["dec_packed"] = put_plane(lv["dec_packed"], dec_packed_c)
     if lv.get("q_packed") is not None:
         # perf callers that consume neither planes nor serializer state skip
         # the crushed-factor plane entirely
         q_packed_c = q[0] + (q[1] << 8) + (q[2] << 16)
-        lv["q_packed"] = put(lv["q_packed"], q_packed_c)
+        lv["q_packed"] = put_plane(lv["q_packed"], q_packed_c)
     rows_new = put(
         jnp.concatenate([lv["shifts"], lv["bits"][None],
                          lv["bpp_block"][None], *lv["decomp"][1:7]], axis=0),
@@ -883,22 +898,28 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     invariants. Reduction-tree order differs from the dense path, so parity
     is owner-map/PSNR/bpp-level, not bitwise.
     """
-    from .pallas_kernels.encode_fixed import KernelSpec, pack_channels
+    from .pallas_kernels.encode_fixed import KernelSpec
     from .pallas_kernels import encode_merged as em
 
     ch = cfg.channels
     h, w = image.shape[:2]
-    if image.ndim == 2 or image.shape[2] == 4:
-        packed, mask, grid0 = layout.blockify_packed(image, BLOCK_SIZE)
+    if image.ndim == 2:
+        packed2d = image
+    elif image.shape[2] == 4:
+        packed2d = jax.lax.bitcast_convert_type(image, jnp.int32)
     else:
-        px, mask, grid0 = layout.blockify(image, BLOCK_SIZE)
-        packed = pack_channels(px)
+        im = image.astype(jnp.int32)
+        packed2d = im[..., 0] | (im[..., 1] << 8) | (im[..., 2] << 16)
+    grid0 = layout.grid_for(h, w, BLOCK_SIZE)
     nb = grid0.num_blocks
     by0, bx0 = grid0.blocks_y, grid0.blocks_x
-    # Morton embed/restore as pure reshape/transpose chains (the equivalent
-    # lane gathers lower to serial loops on TPU; morton_embed_rows docstring)
-    packed_m = em.morton_embed_rows(packed, by0, bx0, num_levels)
-    mask_m = em.morton_embed_rows(mask.astype(jnp.int32), by0, bx0, num_levels)
+    # blockify + Morton embed as the two-pass reshape/transpose chain (lane
+    # gathers lower to serial loops on TPU, and a fused single-chain variant
+    # measured slower -- morton_blockify_packed docstring). The mask is
+    # built elementwise in Morton coordinates: no relayout and no 33 MB
+    # compile-time mask constant shipped through the tunnel per compile.
+    packed_m = em.morton_blockify_packed(packed2d, h, w, num_levels)
+    mask_m = em.morton_mask(h, w, num_levels)
 
     def to_orig(x):
         return em.morton_restore_rows(x, by0, bx0, num_levels)
@@ -963,8 +984,10 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
     frows = to_orig(jnp.concatenate([distb_m, fit[0]["avg"]], axis=0))
     distb0, avg0 = frows[0], frows[1:1 + ch]
-    dec0 = to_orig(dec_m)
-    q0 = to_orig(q_m) if need_q0 else None
+    # the big (64, NBP) pixel planes STAY in Morton order through the
+    # coalesce pass (which gathers/scatters them by Morton position via
+    # ``mpos``), so each pays exactly one relayout: the composed
+    # morton_unblockify at the end / one to_orig for the factor plane
 
     # per-block segment leader (square top-left / self) from host constants
     yy0, xx0 = np.mgrid[0:by0, 0:bx0]
@@ -979,9 +1002,10 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     bits0 = fac_bits0 + header * is_leader0.astype(jnp.int32)
 
     lv0 = dict(
-        decomp=Decomposition(avg0, *ep_rows), shifts=shifts0, q_packed=q0,
-        dec_packed=dec0, dist=distb0, bits=bits0, bpp_block=bpp0,
-        mask=mask, count=cnt0,
+        decomp=Decomposition(avg0, *ep_rows), shifts=shifts0,
+        q_packed=q_m if need_q0 else None,
+        dec_packed=dec_m, dist=distb0, bits=bits0, bpp_block=bpp0,
+        count=cnt0,
     )
 
     run_region_id = None
@@ -1044,9 +1068,18 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                 )
                 is_run0 = is_run0 | take
         ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
+        # Morton position of each original block: the coalesce engine maps
+        # its selected block indices through this row to address the
+        # Morton-layout pixel planes (host constant; rides the multi-row
+        # index gather)
+        perm_m, _, _ = em.morton_perm(by0, bx0, num_levels)
+        valid_p = perm_m >= 0
+        mpos_np = np.zeros(nb, np.int32)
+        mpos_np[perm_m[valid_p]] = np.nonzero(valid_p)[0].astype(np.int32)
         (lv0, run_applied, run_region_id, n_runs,
          coalesce_stats) = coalesce_segments(
-            packed, mask, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
+            packed_m, mask_m, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
+            mpos=jnp.asarray(mpos_np),
         )
 
     # ---- stats: flat level-0 sums (region values broadcast per block) ------
@@ -1065,8 +1098,10 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
 
     # the decode plane stays as packed (H, W) i32 words; the host unpacks
     # them with a free numpy byte view (a device-side bitcast would force
-    # another 33 MB layout pass)
-    dec_plane = layout.unblockify(lv0["dec_packed"][None], grid0, BLOCK_SIZE)[..., 0]
+    # another 33 MB layout pass). Morton restore + unblockify compose into
+    # one copy.
+    dec_plane = em.morton_unblockify(lv0["dec_packed"], h, w, num_levels)
+    q0 = to_orig(lv0["q_packed"]) if need_q0 else None
 
     out = dict(
         decoded_words=dec_plane,
@@ -1098,7 +1133,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         # relayout of a non-row-major u8 plane lowers poorly on TPU (CLAUDE.md
         # perf lore) and the bytes are the same; the host wrapper restores
         # (H, W, 3) with a numpy transpose
-        q = jnp.stack([(lv0["q_packed"] >> (8 * k)) & 0xFF for k in range(3)])
+        q = jnp.stack([(q0 >> (8 * k)) & 0xFF for k in range(3)])
         out["factors_pnb"] = ((q << s_eff0[:, None, :]) & 0xFF).astype(jnp.uint8)
     if return_state:
         # LTP1 serializer state: owner level, owner-region shifts/endpoints
@@ -1114,7 +1149,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         # 33 MB packed-i32 row on a 4K; the host<->device link dominates
         # serialize wall time on tunneled setups
         out["ser_q"] = jnp.stack(
-            [(lv0["q_packed"] >> (8 * k)).astype(jnp.uint8) for k in range(3)]
+            [(q0 >> (8 * k)).astype(jnp.uint8) for k in range(3)]
         )
     return out
 

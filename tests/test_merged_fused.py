@@ -170,6 +170,40 @@ def test_morton_embed_restore_match_gather(levels):
         assert np.array_equal(ref_m[:, inv], got_o)
 
 
+@pytest.mark.parametrize("levels", [2, 3, 4])
+def test_morton_composed_relayouts_match_two_pass(levels):
+    """The composed single-copy relayouts the fused driver uses
+    (morton_blockify_packed / morton_unblockify / the analytic morton_mask)
+    are bit-identical to the two-pass blockify+embed / restore+unblockify
+    chains, including ragged (non-multiple-of-8) edges and grid padding."""
+    import jax.numpy as jnp
+    from limg_tpu.ops import layout
+    from limg_tpu.pallas_kernels.encode_merged import (
+        morton_blockify_packed, morton_unblockify, morton_mask,
+        morton_embed_rows, morton_restore_rows,
+    )
+
+    rng2 = np.random.default_rng(200 + levels)
+    for _ in range(4):
+        h, w = int(rng2.integers(8, 150)), int(rng2.integers(8, 150))
+        img = rng2.integers(0, 1 << 30, (h, w)).astype(np.int32)
+        grid = layout.grid_for(h, w)
+        by, bx = grid.blocks_y, grid.blocks_x
+        packed, mask, _ = layout.blockify_packed(jnp.asarray(img))
+        ref_m = np.asarray(
+            morton_embed_rows(packed, by, bx, levels))
+        got_m = np.asarray(
+            morton_blockify_packed(jnp.asarray(img), h, w, levels))
+        assert np.array_equal(ref_m, got_m)
+        ref_mask = np.asarray(
+            morton_embed_rows(mask.astype(jnp.int32), by, bx, levels))
+        got_mask = np.asarray(morton_mask(h, w, levels))
+        assert np.array_equal(ref_mask, got_mask)
+        # inverse: restore + unblockify == composed unblockify == original
+        back = np.asarray(morton_unblockify(jnp.asarray(got_m), h, w, levels))
+        assert np.array_equal(back, img)
+
+
 def test_fused_state_serializes_exactly():
     """The fused encode's serializer state round-trips bit-exactly through
     LTP1 v5 (the production CLI path: one encode serves stats + stream)."""
