@@ -266,26 +266,37 @@ def neighbor_pair_matches(decomps, grids, channels: int):
     decomps: list of Decomposition (ch, gy_l*gx_l) in original grid order.
     Returns [(m_left (gy, gx-1) | None, m_up (gy-1, gx) | None)] per level.
     """
+    # each part ships as ONE stacked (7*ch, n) f32 array (endpoints are
+    # int16-range, exact in f32) so the cross-level concatenate is 7x fewer
+    # XLA update-slices than per-field concats -- this assembly showed up as
+    # ~0.7 ms of dynamic-update-slice/copy glue per 4K in the xplane profile
+    ch = channels
     parts_a, parts_b, sizes = [], [], []
     for d, grid in zip(decomps, grids):
         gy, gx = grid.blocks_y, grid.blocks_x
+        rows = jnp.concatenate(
+            [f.astype(jnp.float32) for f in d], axis=0
+        ).reshape(7 * ch, gy, gx)
+
+        def part(sl_y, sl_x, r=rows, n=7 * ch):
+            return r[:, sl_y, sl_x].reshape(n, -1)
+
         if gx > 1:
-            parts_a.append(_slice_decomp_2d(d, gy, gx, slice(None), slice(1, None)))
-            parts_b.append(_slice_decomp_2d(d, gy, gx, slice(None), slice(0, -1)))
+            parts_a.append(part(slice(None), slice(1, None)))
+            parts_b.append(part(slice(None), slice(0, -1)))
             sizes.append(gy * (gx - 1))
         else:
             sizes.append(0)
         if gy > 1:
-            parts_a.append(_slice_decomp_2d(d, gy, gx, slice(1, None), slice(None)))
-            parts_b.append(_slice_decomp_2d(d, gy, gx, slice(0, -1), slice(None)))
+            parts_a.append(part(slice(1, None), slice(None)))
+            parts_b.append(part(slice(0, -1), slice(None)))
             sizes.append((gy - 1) * gx)
         else:
             sizes.append(0)
 
     def cat(parts):
-        return Decomposition(
-            *(jnp.concatenate([p[i] for p in parts], axis=-1) for i in range(7))
-        )
+        big = jnp.concatenate(parts, axis=-1)                    # (7ch, N)
+        return Decomposition(*(big[ch * i:ch * (i + 1)] for i in range(7)))
 
     m, _ = match_decomps(cat(parts_a), cat(parts_b), channels)
     out = []
