@@ -288,14 +288,22 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
     crush = spec.crush
     dither = spec.dither
     ladder_k = spec.ladder_k
-    # pre-scale block-error accumulation on big regions (int32 headroom);
-    # must match ops.crush._err_scale_shift for jnp/kernel bit parity
-    es = 4 if packed.shape[0] * red.chunks >= 2048 else 0
+    # Segment reducers (encode_segments._SegReducer) set seg_err_shift: the
+    # per-BLOCK error sums are >> seg_err_shift before the cross-lane segment
+    # combine and admissibility compares in f32 -- exactly mirroring
+    # ops.segments.find_shifts_segments (seg_pm_be + _admissible(es=8)).
+    ses = getattr(red, "seg_err_shift", None)
+    if ses is not None:
+        es = 0
+    else:
+        # pre-scale block-error accumulation on big regions (int32 headroom);
+        # must match ops.crush._err_scale_shift for jnp/kernel bit parity
+        es = 4 if packed.shape[0] * red.chunks >= 2048 else 0
 
     def blk_ok(be, count_row):
-        if es == 0:
+        if es == 0 and ses is None:
             return be * 0x10 < max_blk * count_row
-        lhs = be.astype(jnp.float32) * float(0x10 << es)
+        lhs = be.astype(jnp.float32) * float(0x10 << (es if ses is None else ses))
         rhs = count_row.astype(jnp.float32) * max_blk.astype(jnp.float32)
         return lhs < rhs
 
@@ -361,7 +369,10 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         pix_parts/blk_parts: lists of (r, T) rows. Returns the two stacks
         with every row holding its region's max/sum (order preserved)."""
         pm = red._combine(jnp.concatenate(pix_parts, axis=0), jnp.maximum)
-        be = red._combine(jnp.concatenate(blk_parts, axis=0), jnp.add)
+        be = jnp.concatenate(blk_parts, axis=0)
+        if ses is not None:
+            be = be >> ses
+        be = red._combine(be, jnp.add)
         return pm, be
 
     def decode_eval(s, q):
@@ -408,7 +419,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         if floor_pix is None:
             return (pm <= max_pix) & blk_ok(be, count)
         pix_ok = pm <= max_pix + floor_pix
-        scale = float(0x10 << es)
+        scale = float(0x10 << (es if ses is None else ses))
         lhs = be.astype(jnp.float32) * scale
         rhs = (
             count.astype(jnp.float32) * max_blk.astype(jnp.float32)

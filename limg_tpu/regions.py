@@ -499,7 +499,8 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
 def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
                       cfg: EncodeConfig, key, merge_policy: str,
                       rd_lambda, cap_frac: int = 4,
-                      header_bits: int | None = None, mpos=None):
+                      header_bits: int | None = None, mpos=None,
+                      use_kernel: bool | None = None):
     """Segment refit/crush engine shared by the per-level and the unified
     multi-level coalesce: re-encodes the ``is_run`` blocks grouped by
     ``seg_id`` (each segment's leader flat index) and writes accepted
@@ -511,7 +512,14 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     are in MORTON lane order (NBP lanes) and ``mpos[b]`` is block b's
     Morton position -- the fused driver keeps those planes Morton-resident
     so each pays exactly one relayout for the whole encode. All other rows
-    stay in original block order."""
+    stay in original block order.
+
+    ``use_kernel``: run the whole refit/crush/dither/decode in the fused
+    segment Pallas kernel (pallas_kernels/encode_segments.py) -- default on
+    accelerator backends. Bit-identical to the jnp composition on
+    shifts/endpoints/decode (tests/test_segment_kernel.py); dither noise is
+    the TPU PRNG instead of threefry (statistical parity, like the fixed
+    kernel)."""
     from jax import lax
     from .ops.segments import (
         fit_segments, find_shifts_segments, seg_mixed_all,
@@ -523,6 +531,8 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
 
     ch = cfg.channels
     nb = seg_id.shape[-1]
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
 
     # -- compact run blocks into a fixed-capacity buffer --------------------
     # Sorting by (is_run, seg_id) makes every segment's members CONTIGUOUS
@@ -553,7 +563,6 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     old_dist_sel = lax.bitcast_convert_type(rows_i[3], jnp.float32)
     packed_c = packed_blk[:, sel_p]                              # (P, cap)
     mask_c = mask[:, sel_p].astype(bool) & sel_is_run[None, :]
-    px_c = jnp.stack([(packed_c >> (8 * c)) & 0xFF for c in range(ch)])
     # contiguous remap: new id = first position of the segment in the buffer
     pos = jnp.arange(cap, dtype=jnp.int32)
     is_seg_start = jnp.concatenate(
@@ -579,38 +588,76 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # -- segment refit + factor extraction + crush + decode -----------------
     # everything below is per-member: fit/crush broadcast each segment's
     # result to all of its member positions (ops/segments.py contiguous mode)
-    d_blk = fit_segments(px_c, mask_c, seg_c, cap, ch, contiguous=True)
-    if cfg.num_factors < 3:
-        d_blk = drop_decomposition_axes(d_blk, cfg.num_factors)
-    f8_u8 = quantize_factors(*extract_factors(px_c, d_blk, ch))
-    shifts_blk, _ = find_shifts_segments(px_c, mask_c, f8_u8, d_blk, seg_c, cap,
-                                         cfg, contiguous=True)
-    if cfg.num_factors < 3:
-        forced = jnp.asarray(
-            [0] * cfg.num_factors + [8] * (3 - cfg.num_factors), jnp.int32
-        )
-        shifts_blk = jnp.maximum(shifts_blk, forced[:, None])
-    f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
-    q = dither_crush(key, f8, shifts_blk, enabled=cfg.dithering and cfg.crush_bits)
-    decoded = decode_blocks(q, shifts_blk, d_blk, ch)            # (ch, P, cap)
-
-    # -- per-block stats on the compacted buffer -----------------------------
-    mask_ci = mask_c.astype(jnp.int32)
-    count_blk = mask_ci.sum(axis=0)                              # (cap,)
-    err = (weighted_error(decoded, px_c) * mask_ci)
-    dist_blk = err.astype(jnp.float32).sum(axis=0)
-    s_eff = jnp.minimum(shifts_blk, 8)
-    fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)   # (cap,)
-    header = static_block_bits(ch) if header_bits is None else header_bits
-    bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
-    # count/bits/old-bits segment totals in ONE scan chain (seg_mixed_all)
+    need_q = lv.get("q_packed") is not None
     old_bits_masked = jnp.where(sel_is_run, old_bits_sel, 0)
-    sums3 = seg_mixed_all(
-        jnp.stack([count_blk, fac_bits_blk, old_bits_masked]), seg_c, 3, 0,
-    )
-    count_mem = sums3[0]
-    bits_mem = sums3[1] + header
-    old_bits_mem = sums3[2]
+    if use_kernel:
+        # the WHOLE re-encode in one fused kernel launch (bit-identical to
+        # the jnp composition below on shifts/endpoints/decode; TPU-PRNG
+        # dither instead of threefry -- see encode_segments.py)
+        from .pallas_kernels.encode_fixed import KernelSpec
+        from .pallas_kernels.encode_segments import segment_encode_pallas
+
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+        params = jnp.stack([
+            seed,
+            jnp.int32(cfg.max_pixel_bit_crush_error),
+            jnp.int32(cfg.max_block_bit_crush_error),
+        ])
+        mask_ci = mask_c.astype(jnp.int32)
+        (shifts_blk, q_packed_c, dec_packed_c, distb, count_blk_r,
+         count_mem_r, *eps_avg) = segment_encode_pallas(
+            packed_c, mask_ci, seg_c, params, KernelSpec.from_config(cfg),
+            emit_q=need_q,
+        )
+        dist_blk = distb[0]
+        count_blk = count_blk_r[0]
+        count_mem = count_mem_r[0]
+        d_blk = Decomposition(eps_avg[6], *eps_avg[:6])
+        s_eff = jnp.minimum(shifts_blk, 8)
+        fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)
+        header = static_block_bits(ch) if header_bits is None else header_bits
+        bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
+        sums2 = seg_mixed_all(
+            jnp.stack([fac_bits_blk, old_bits_masked]), seg_c, 2, 0,
+        )
+        bits_mem = sums2[0] + header
+        old_bits_mem = sums2[1]
+    else:
+        px_c = jnp.stack([(packed_c >> (8 * c)) & 0xFF for c in range(ch)])
+        d_blk = fit_segments(px_c, mask_c, seg_c, cap, ch, contiguous=True)
+        if cfg.num_factors < 3:
+            d_blk = drop_decomposition_axes(d_blk, cfg.num_factors)
+        f8_u8 = quantize_factors(*extract_factors(px_c, d_blk, ch))
+        shifts_blk, _ = find_shifts_segments(px_c, mask_c, f8_u8, d_blk, seg_c,
+                                             cap, cfg, contiguous=True)
+        if cfg.num_factors < 3:
+            forced = jnp.asarray(
+                [0] * cfg.num_factors + [8] * (3 - cfg.num_factors), jnp.int32
+            )
+            shifts_blk = jnp.maximum(shifts_blk, forced[:, None])
+        f8 = jnp.stack([p.astype(jnp.int32) for p in f8_u8])
+        q = dither_crush(key, f8, shifts_blk,
+                         enabled=cfg.dithering and cfg.crush_bits)
+        decoded = decode_blocks(q, shifts_blk, d_blk, ch)        # (ch, P, cap)
+        q_packed_c = (q[0] + (q[1] << 8) + (q[2] << 16)) if need_q else None
+        dec_packed_c = _pack_dec_jnp(decoded, ch)
+
+        # -- per-block stats on the compacted buffer -------------------------
+        mask_ci = mask_c.astype(jnp.int32)
+        count_blk = mask_ci.sum(axis=0)                          # (cap,)
+        err = (weighted_error(decoded, px_c) * mask_ci)
+        dist_blk = err.astype(jnp.float32).sum(axis=0)
+        s_eff = jnp.minimum(shifts_blk, 8)
+        fac_bits_blk = ((8 - s_eff) * count_blk[None]).sum(axis=0)  # (cap,)
+        header = static_block_bits(ch) if header_bits is None else header_bits
+        bits_blk = fac_bits_blk + header * is_start.astype(jnp.int32)
+        # count/bits/old-bits segment totals in ONE scan chain (seg_mixed_all)
+        sums3 = seg_mixed_all(
+            jnp.stack([count_blk, fac_bits_blk, old_bits_masked]), seg_c, 3, 0,
+        )
+        count_mem = sums3[0]
+        bits_mem = sums3[1] + header
+        old_bits_mem = sums3[2]
     bpp_mem = jnp.minimum(
         0xFF, (bits_mem + count_mem // 2) // jnp.maximum(count_mem, 1)
     )
@@ -649,13 +696,11 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     put = put_at(sel)
     put_plane = put_at(sel_p)                    # Morton planes when mpos
 
-    dec_packed_c = _pack_dec_jnp(decoded, ch)
     lv = dict(lv)
     lv["dec_packed"] = put_plane(lv["dec_packed"], dec_packed_c)
-    if lv.get("q_packed") is not None:
+    if need_q:
         # perf callers that consume neither planes nor serializer state skip
         # the crushed-factor plane entirely
-        q_packed_c = q[0] + (q[1] << 8) + (q[2] << 16)
         lv["q_packed"] = put_plane(lv["q_packed"], q_packed_c)
     rows_new = put(
         jnp.concatenate([lv["shifts"], lv["bits"][None],

@@ -174,6 +174,75 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
             results[name] = {"exact": bool(np.array_equal(a, b))}
             if not np.array_equal(a, b):
                 failures.append(name)
+
+    # the fused segment-encode kernel (the whole coalesce re-encode in one
+    # launch): compiled kernel vs the jnp composition fit_segments ->
+    # extract/quantize factors -> find_shifts_segments -> decode_blocks,
+    # on the real device, all crush modes, RGB + RGBA
+    from limg_tpu.ops.decode import decode_blocks
+    from limg_tpu.ops.error import weighted_error
+    from limg_tpu.ops.segments import find_shifts_segments, fit_segments
+    from limg_tpu.pallas_kernels.encode_fixed import KernelSpec
+    from limg_tpu.pallas_kernels.encode_segments import segment_encode_pallas
+
+    rng3 = np.random.default_rng(23)
+    n = 3000
+    seg_np = np.zeros(n, np.int32)
+    i = 0
+    while i < n:
+        wdt = min(int(rng3.integers(1, SEG_CAP + 1)), n - i)
+        seg_np[i:i + wdt] = i
+        i += wdt
+    seg = jnp.asarray(seg_np)
+    for ch, mode in [(3, "ladder"), (3, "exhaustive"), (3, "guess"),
+                     (4, "ladder")]:
+        px_np = rng3.integers(0, 256, (ch, 64, n)).astype(np.int32)
+        px_np[:, :, : n // 2] = (px_np[:, :, : n // 2] // 32) * 32
+        mask_np = np.ones((64, n), bool)
+        mask_np[:, rng3.integers(0, n, n // 10)] = False
+        mask_np[32:, rng3.integers(0, n, n // 10)] = False
+        px = jnp.asarray(px_np)
+        mask_b = jnp.asarray(mask_np)
+        cfg = EncodeConfig(error_factor=100, has_alpha=(ch == 4),
+                           crush_mode=mode, dithering=False)
+        d = fit_segments(px, mask_b, seg, n, ch, contiguous=True)
+        f8_u8 = quantize_factors(*extract_factors(px, d, ch))
+        shifts_j, _ = find_shifts_segments(px, mask_b, f8_u8, d, seg, n, cfg,
+                                           contiguous=True)
+        q_j = jnp.stack([p.astype(jnp.int32) for p in f8_u8]) >> jnp.minimum(
+            shifts_j, 8)[:, None, :]
+        dec_j = decode_blocks(q_j, shifts_j, d, ch)
+        dist_j = (weighted_error(dec_j, px) * mask_b.astype(jnp.int32)
+                  ).astype(jnp.float32).sum(axis=0)
+        params = jnp.asarray([0, cfg.max_pixel_bit_crush_error,
+                              cfg.max_block_bit_crush_error], jnp.int32)
+        (shifts_k, q_k, dec_k, dist_k, *_rest) = segment_encode_pallas(
+            pack_channels(px.astype(jnp.uint8)), mask_b.astype(jnp.int32),
+            seg, params, KernelSpec.from_config(cfg),
+        )
+        m = mask_np
+        checks = {
+            "shifts": bool(np.array_equal(np.asarray(shifts_j),
+                                          np.asarray(shifts_k))),
+            "factors": all(
+                np.array_equal(
+                    np.where(m, np.asarray(q_j[c]), 0),
+                    np.where(m, np.asarray((q_k >> (8 * c)) & 0xFF), 0))
+                for c in range(3)
+            ),
+            "decode": all(
+                np.array_equal(
+                    np.where(m, np.asarray(dec_j[c]), 0),
+                    np.where(m, np.asarray((dec_k >> (8 * c)) & 0xFF), 0))
+                for c in range(ch)
+            ),
+            "dist": bool(np.array_equal(np.asarray(dist_j),
+                                        np.asarray(dist_k[0]))),
+        }
+        name = f"segenc_ch{ch}_{mode}"
+        results[name] = checks
+        if not all(checks.values()):
+            failures.append(name)
     return results, failures
 
 
