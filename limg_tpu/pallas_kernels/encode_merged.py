@@ -166,22 +166,45 @@ def morton_blockify_packed(packed2d, h: int, w: int, levels: int):
     whole image: ~2.3 ms reshape + 1.6 ms copy per 4K, vs ~1.6 ms total
     for this two-pass chain whose (by, 8, bx, 8) blockify stays
     T(8,128)-friendly and whose embed then permutes whole lanes --
-    tools/profiling/xplane_ops.py, 2026-08-18)."""
+    tools/profiling/xplane_ops.py, 2026-08-18). The blockify transpose is
+    fenced like the embed: unfenced, XLA fuses it into producers/consumers
+    and the chain measured 1.96 vs 1.47 ms per 4K
+    (tools/profiling/blockify_probe.py)."""
     from ..ops import layout
 
-    packed, _, grid = layout.blockify_packed(packed2d)
-    return morton_embed_rows(packed, grid.blocks_y, grid.blocks_x, levels)
+    grid = layout.grid_for(h, w)
+    by, bx = grid.blocks_y, grid.blocks_x
+    pad_y, pad_x = by * 8 - h, bx * 8 - w
+    x = packed2d
+    if pad_y or pad_x:
+        x = jnp.pad(x, ((0, pad_y), (0, pad_x)))
+    x = jax.lax.optimization_barrier(x)
+    packed = x.reshape(by, 8, bx, 8).transpose(1, 3, 0, 2).reshape(
+        64, by * bx)
+    packed = jax.lax.optimization_barrier(packed)
+    return morton_embed_rows(packed, by, bx, levels)
 
 
 def morton_unblockify(rows64_m, h: int, w: int, levels: int):
     """(64, NBP) Morton pixel plane -> (H, W); inverse of
     morton_blockify_packed (same two-pass rationale: restore lanes, then
-    the T(8,128)-friendly unblockify)."""
+    the T(8,128)-friendly unblockify).
+
+    The unblockify is a C=1-specialized transpose fenced with
+    optimization_barrier: the generic layout.unblockify path (trailing
+    channel dim, no fences) lets XLA fuse the relayout into its producers,
+    splitting it into THREE materialized ~33 MB steps (~2.4 ms per 4K,
+    xplane traces); fenced it is ONE transpose copy (~0.2 ms,
+    tools/profiling/unblockify_probe.py -- the unfenced single-plane
+    variant measured 3.2 ms standalone)."""
     from ..ops import layout
 
     grid = layout.grid_for(h, w)
-    rows = morton_restore_rows(rows64_m, grid.blocks_y, grid.blocks_x, levels)
-    return layout.unblockify(rows[None], grid)[..., 0]
+    by, bx = grid.blocks_y, grid.blocks_x
+    rows = morton_restore_rows(rows64_m, by, bx, levels)
+    x = jax.lax.optimization_barrier(rows)
+    t = x.reshape(8, 8, by, bx).transpose(2, 0, 3, 1).reshape(by * 8, bx * 8)
+    return jax.lax.optimization_barrier(t)[:h, :w]
 
 
 def morton_mask(h: int, w: int, levels: int):
@@ -409,6 +432,55 @@ def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
     return match, reason
 
 
+def _make_match_pairs_kernel(channels: int):
+    """Elementwise 27-probe match over paired decomposition row stacks.
+
+    a/b: (7*ch, T) f32 stacks in Decomposition field order (avg, dirA_min,
+    dirA_max, dirB_offset, dirB_mag, dirC_offset, dirC_mag). The predicate
+    math is _match_rows (== ops.match.match_decomps bit-for-bit on f32
+    rows); running it in VMEM replaces ~250 elementwise XLA passes over
+    ~28 MB probe stacks per 4K merged encode."""
+
+    def kernel(a_ref, b_ref, m_ref):
+        a = a_ref[...]
+        b = b_ref[...]
+        ch = channels
+
+        def split(rows):
+            avg = rows[:ch]
+            eps = tuple(rows[ch * (1 + k):ch * (2 + k)] for k in range(6))
+            return avg, eps
+
+        avg_a, eps_a = split(a)
+        avg_b, eps_b = split(b)
+        m, _reason = _match_rows(avg_a, eps_a, avg_b, eps_b, ch)
+        m_ref[...] = m.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "interpret"))
+def match_pairs_pallas(rows_a, rows_b, channels: int, interpret: bool = False):
+    """(7ch, N) f32 paired stacks -> (N,) bool match row (one launch)."""
+    r, n = rows_a.shape
+    tile = 2048
+    pad = (-n) % tile
+    if pad:
+        rows_a = jnp.pad(rows_a, ((0, 0), (0, pad)))
+        rows_b = jnp.pad(rows_b, ((0, 0), (0, pad)))
+    npad = n + pad
+    spec = pl.BlockSpec((r, tile), lambda i: (0, i))
+    m = pl.pallas_call(
+        _make_match_pairs_kernel(channels),
+        grid=(npad // tile,),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(rows_a, rows_b)
+    return m[0, :n].astype(bool)
+
+
 def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
                             emit_match: bool = False):
     channels = spec.channels
@@ -422,6 +494,7 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
         owner = jnp.zeros((1, lanes), jnp.int32)
         alive = jnp.ones((1, lanes), jnp.int32)
         reason_rows = []
+        f8_lvls, eps_lvls = [], []
         prev = None
         for lvl in range(levels):
             red = _GroupReducer(4 ** lvl, lanes)
@@ -432,13 +505,25 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
             eps_arr = tuple(jnp.concatenate(rows, axis=0)
                             for rows in endpoints)             # 6 x (ch, T)
             avg_arr = jnp.concatenate(avg, axis=0)             # (ch, T) f32
-            f8_ref, *rest = refs[:9]
-            f8_ref[...] = f8[0] + (f8[1] << 8) + (f8[2] << 16)
-            for ref, arr in zip(rest[:6], eps_arr):
-                ref[...] = arr
-            rest[6][...] = avg_arr
-            rest[7][...] = count                               # (1, T) i32
-            refs = refs[9:]
+            f8_packed = f8[0] + (f8[1] << 8) + (f8[2] << 16)
+            if emit_match:
+                # per-level f8/endpoint/avg rows stay in VMEM for the final
+                # owner select -- emitting them per level (and re-reading
+                # them in the crush kernel / the driver's leader-lane match
+                # slices) cost ~160 MB of HBM round-trips per 4K; only the
+                # per-level count row leaves the kernel (stats)
+                f8_lvls.append(f8_packed)
+                eps_lvls.append(eps_arr + (avg_arr,))
+                refs[0][...] = count                           # (1, T) i32
+                refs = refs[1:]
+            else:
+                f8_ref, *rest = refs[:9]
+                f8_ref[...] = f8_packed
+                for ref, arr in zip(rest[:6], eps_arr):
+                    ref[...] = arr
+                rest[6][...] = avg_arr
+                rest[7][...] = count                           # (1, T) i32
+                refs = refs[9:]
 
             if emit_match and lvl >= 1:
                 # merge decision for this level's squares: each lane compares
@@ -479,9 +564,22 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
                 reason_rows.append(racc)
             prev = (eps_arr, avg_arr, count)
         if emit_match:
-            refs[0][...] = owner
+            # owner-selected factor plane + endpoint/avg rows: the crush
+            # kernel and the driver consume exactly these, so the select
+            # runs here on VMEM tiles
+            f8_sel = f8_lvls[0]
+            eps_sel = list(eps_lvls[0])               # 6 eps + avg
+            for lvl in range(1, levels):
+                sel = owner == lvl
+                f8_sel = jnp.where(sel, f8_lvls[lvl], f8_sel)
+                eps_sel = [jnp.where(sel, e, o)
+                           for e, o in zip(eps_lvls[lvl], eps_sel)]
+            refs[0][...] = f8_sel
+            for i, e in enumerate(eps_sel):
+                refs[1 + i][...] = e
+            refs[8][...] = owner
             for i, rr in enumerate(reason_rows):
-                refs[1 + i][...] = rr
+                refs[9 + i][...] = rr
 
     return kernel
 
@@ -490,27 +588,21 @@ def _make_owner_crush_kernel(spec: KernelSpec, levels: int,
                              emit_q: bool = True):
     channels = spec.channels
 
-    def kernel(params_ref, packed_ref, mask_ref, owner_ref, *rest):
-        # per-level factor/endpoint rows; the owner select happens HERE, on
-        # VMEM tiles (free VPU selects), instead of as a separate jnp pass
-        # that streams the full planes through HBM (measured ~7 ms per 4K)
-        f8_in = rest[:levels]
-        ep_in = rest[levels:levels + 6 * levels]   # level-major: 6 per level
-        outs = list(rest[levels + 6 * levels:])
+    def kernel(params_ref, packed_ref, mask_ref, owner_ref, f8_ref, *rest):
+        # the owner select of factors/endpoints already ran inside the fit
+        # kernel (fit_levels emits ONE selected plane instead of one per
+        # level -- saves ~134 MB of HBM round-trips per 4K)
+        ep_in = rest[:6]
+        outs = list(rest[6:])
         shifts_ref = outs.pop(0)
         q_ref = outs.pop(0) if emit_q else None
-        (dec_ref, dist_ref, distb_ref, bpp_ref, *ep_out) = outs
+        (dec_ref, dist_ref, distb_ref, bpp_ref) = outs
         packed = packed_ref[...]
         mask_i = mask_ref[...]
         owner = owner_ref[...]
         red = _OwnerReducer(owner, levels)
-        f8_packed = f8_in[0][...]
+        f8_packed = f8_ref[...]
         eps_rows = [ep_in[j][...] for j in range(6)]
-        for lvl in range(1, levels):
-            sel = owner == lvl
-            f8_packed = jnp.where(sel, f8_in[lvl][...], f8_packed)
-            eps_rows = [jnp.where(sel, ep_in[6 * lvl + j][...], e)
-                        for j, e in enumerate(eps_rows)]
         f8 = [(f8_packed >> (8 * k)) & 0xFF for k in range(3)]
         endpoints = tuple(
             [e[c:c + 1, :] for c in range(channels)] for e in eps_rows
@@ -536,8 +628,6 @@ def _make_owner_crush_kernel(spec: KernelSpec, levels: int,
         bpp_ref[...] = jnp.minimum(
             0xFF, (block_bits + count // 2) // jnp.maximum(count, 1)
         ) * (cnt_blk > 0)
-        for ref, e in zip(ep_out, eps_rows):
-            ref[...] = e
 
     return kernel
 
@@ -571,10 +661,14 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
     their member lanes.
 
     With ``emit_match`` the kernel ALSO runs the merge decisions (in-kernel
-    _match_rows + alive-chain butterflies) and the returned tuple is
-    (fits, owner (1, NBP) i32, reasons list of levels-1 (1, NBP) i32
-    bitmask rows of MATCH_REASON_BITS, group-ORed and broadcast across each
-    parent's lanes).
+    _match_rows + alive-chain butterflies) and the OWNER SELECT of the
+    factor plane / endpoint / avg rows (their only consumers -- the crush
+    kernel and the driver's coalesce-match slices -- read owner-level
+    values, so per-level planes never leave VMEM). The returned tuple is
+    (fits [dicts with count ONLY], f8_sel (64, NBP) i32, eps_sel tuple of
+    6 (ch, NBP) i32, avg_sel (ch, NBP) f32, owner (1, NBP) i32, reasons
+    list of levels-1 (1, NBP) i32 bitmask rows of MATCH_REASON_BITS,
+    group-ORed and broadcast across each parent's lanes).
     """
     p, nb = packed_px.shape
     packed_px = _pad_lanes(packed_px, nb)
@@ -585,18 +679,25 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
 
     out_shapes, out_specs = [], []
     for _ in range(levels):
+        if not emit_match:
+            out_shapes += [jax.ShapeDtypeStruct((p, nbp), jnp.int32)]
+            out_specs += [_row_spec(p)]
+            out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
+            out_specs += [_row_spec(ch)] * 6
+            out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.float32)]
+            out_specs += [_row_spec(ch)]
+        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)]
+        out_specs += [_row_spec(1)]
+    if emit_match:
+        # f8_sel + 6 eps_sel + avg_sel + owner + (levels-1) reason rows
         out_shapes += [jax.ShapeDtypeStruct((p, nbp), jnp.int32)]
         out_specs += [_row_spec(p)]
         out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
         out_specs += [_row_spec(ch)] * 6
         out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.float32)]
         out_specs += [_row_spec(ch)]
-        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)]
-        out_specs += [_row_spec(1)]
-    if emit_match:
-        n_extra = levels  # owner + (levels-1) reason rows
-        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)] * n_extra
-        out_specs += [_row_spec(1)] * n_extra
+        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)] * levels
+        out_specs += [_row_spec(1)] * levels
 
     outs = pl.pallas_call(
         _make_fit_levels_kernel(kspec, levels, emit_match),
@@ -609,36 +710,40 @@ def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
         interpret=interpret,
     )(params, packed_px, mask_i)
 
+    per_lvl = 1 if emit_match else 9
     result = []
     for lvl in range(levels):
-        f8, *rest = outs[9 * lvl:9 * (lvl + 1)]
-        result.append(dict(
-            f8=f8[:, :nb],
-            endpoints=tuple(r[:, :nb] for r in rest[:6]),
-            avg=rest[6][:, :nb],
-            count=rest[7][:, :nb],
-        ))
+        rest = outs[per_lvl * lvl:per_lvl * (lvl + 1)]
+        d = dict(count=rest[-1][:, :nb])
+        if not emit_match:
+            d["f8"] = rest[0][:, :nb]
+            d["endpoints"] = tuple(r[:, :nb] for r in rest[1:7])
+            d["avg"] = rest[7][:, :nb]
+        result.append(d)
     if emit_match:
-        extra = outs[9 * levels:]
-        owner = extra[0][:, :nb]
-        reasons = [r[:, :nb] for r in extra[1:]]
-        return result, owner, reasons
+        extra = outs[per_lvl * levels:]
+        f8_sel = extra[0][:, :nb]
+        eps_sel = tuple(e[:, :nb] for e in extra[1:7])
+        avg_sel = extra[7][:, :nb]
+        owner = extra[8][:, :nb]
+        reasons = [r[:, :nb] for r in extra[9:]]
+        return result, f8_sel, eps_sel, avg_sel, owner, reasons
     return result
 
 
 @functools.partial(jax.jit, static_argnames=("kspec", "levels", "interpret",
                                               "emit_q"))
-def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
+def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
                        kspec: KernelSpec, levels: int, interpret: bool,
                        emit_q: bool = True):
     """Crush + dither + decode once per pixel at each block's owner level.
 
-    owner: (1, NBP) i32 in [0, levels); f8_levels: per-level packed factor
-    planes [(P, NBP)] x levels; eps_levels: per-level 6-tuples of (ch, NBP)
-    endpoint rows. The owner select runs inside the kernel. Returns
+    owner: (1, NBP) i32 in [0, levels); f8_sel: the OWNER-SELECTED packed
+    factor plane (P, NBP) from fit_levels_pallas(emit_match=True); eps_sel:
+    6-tuple of owner-selected (ch, NBP) endpoint rows. Returns
     (shifts (3, NBP), q_packed, dec_packed (P, NBP), dist (1, NBP) broadcast
     per region, dist_blk (1, NBP) per-BLOCK error, bpp_blk (1, NBP)
-    region-amortized bpp, plus the 6 owner-selected endpoint rows).
+    region-amortized bpp).
     ``emit_q=False`` skips the crushed-factor plane (a 33 MB HBM write on a
     4K) and returns None in its slot -- perf/bench callers that consume
     neither debug planes nor serializer state never read it.
@@ -647,9 +752,8 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
     packed_px = _pad_lanes(packed_px, nb)
     mask_i = _pad_lanes(mask_i, nb)
     owner = _pad_lanes(owner, nb)
-    f8_levels = [_pad_lanes(f, nb) for f in f8_levels]
-    eps_flat = [_pad_lanes(e, nb) for lvl in range(levels)
-                for e in eps_levels[lvl]]
+    f8_sel = _pad_lanes(f8_sel, nb)
+    eps_flat = [_pad_lanes(e, nb) for e in eps_sel]
     nbp = packed_px.shape[-1]
     grid = nbp // _T_LANES
     ch = kspec.channels
@@ -661,22 +765,19 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_levels, eps_levels, params,
         _make_owner_crush_kernel(kspec, levels, emit_q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
-            in_specs=[_row_spec(p), _row_spec(p), _row_spec(1)]
-            + [_row_spec(p)] * levels + [_row_spec(ch)] * (6 * levels),
+            in_specs=[_row_spec(p), _row_spec(p), _row_spec(1), _row_spec(p)]
+            + [_row_spec(ch)] * 6,
             out_specs=(_row_spec(3),) + q_specs
-            + (_row_spec(p), _row_spec(1), _row_spec(1), _row_spec(1))
-            + tuple([_row_spec(ch)] * 6),
+            + (_row_spec(p), _row_spec(1), _row_spec(1), _row_spec(1)),
         ),
         out_shape=(jax.ShapeDtypeStruct((3, nbp), jnp.int32),) + q_shapes + (
             jax.ShapeDtypeStruct((p, nbp), jnp.int32),
             jax.ShapeDtypeStruct((1, nbp), jnp.float32),
             jax.ShapeDtypeStruct((1, nbp), jnp.float32),
             jax.ShapeDtypeStruct((1, nbp), jnp.int32),
-        ) + tuple(
-            jax.ShapeDtypeStruct((ch, nbp), jnp.int32) for _ in range(6)
         ),
         interpret=interpret,
-    )(params, packed_px, mask_i, owner, *f8_levels, *eps_flat)
+    )(params, packed_px, mask_i, owner, f8_sel, *eps_flat)
     outs = tuple(o[:, :nb] for o in outs)
     if not emit_q:
         outs = outs[:1] + (None,) + outs[1:]

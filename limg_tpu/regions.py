@@ -294,11 +294,20 @@ def neighbor_pair_matches(decomps, grids, channels: int):
         else:
             sizes.append(0)
 
-    def cat(parts):
-        big = jnp.concatenate(parts, axis=-1)                    # (7ch, N)
-        return Decomposition(*(big[ch * i:ch * (i + 1)] for i in range(7)))
+    big_a = jnp.concatenate(parts_a, axis=-1)                    # (7ch, N)
+    big_b = jnp.concatenate(parts_b, axis=-1)
+    if jax.default_backend() != "cpu":
+        # one kernel launch; bit-identical to match_decomps on f32 rows
+        # (tests/test_segment_kernel.py::test_match_pairs_kernel)
+        from .pallas_kernels.encode_merged import match_pairs_pallas
 
-    m, _ = match_decomps(cat(parts_a), cat(parts_b), channels)
+        m = match_pairs_pallas(big_a, big_b, channels)
+    else:
+        def split(big):
+            return Decomposition(
+                *(big[ch * i:ch * (i + 1)] for i in range(7)))
+
+        m, _ = match_decomps(split(big_a), split(big_b), channels)
     out = []
     off = 0
     it = iter(sizes)
@@ -540,7 +549,12 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # all segment reductions run as doubling scans instead of TPU-hostile
     # scatters, and every per-member value IS its segment's value -- no
     # seg-id gathers (1-D gathers lower to ~1 ms serial loops on TPU).
-    cap = nb if nb <= 256 else max(256, nb // cap_frac)
+    # Small/medium grids get FULL capacity (no run is ever dropped): the
+    # fused segment kernel (encode_segments.py) made per-lane cost low enough
+    # that only large grids bound the buffer, where nb/cap_frac keeps photo
+    # content (few runs) cheap. A 301x437 CLI encode previously dropped 978
+    # of ~1500 run blocks at cap=522.
+    cap = nb if nb <= 4096 else max(4096, nb // cap_frac)
     sort_key = jnp.where(is_run, seg_id, jnp.int32(2**30))
     order = jnp.argsort(sort_key, stable=True)                   # runs first
     sel = order[:cap]                                            # (cap,)
@@ -993,7 +1007,8 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     # over strided leader slices -- that glue measured ~8 ms per 4K
     # (tools/profiling/xplane_top.py). Empty (grid padding) children
     # auto-match as in the dense path.
-    fit, owner_row_m, reason_rows = em.fit_levels_pallas(
+    (fit, f8_sel, eps_sel_m, avg_sel_m, owner_row_m,
+     reason_rows) = em.fit_levels_pallas(
         packed_m, mask_m, params, kspec, num_levels, interpret,
         emit_match=True,
     )
@@ -1010,18 +1025,15 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         })
         merge_stats[-1] = {k: v.sum() for k, v in merge_stats[-1].items()}
 
-    # crush at the owner level; the owner select of factors/endpoints runs
-    # inside the kernel (fit rows are already broadcast across each region's
-    # member lanes), which also emits per-BLOCK dist/bpp rows and the
-    # selected endpoint rows -- everything downstream works at flat level-0
-    # block granularity (stats become plain sums, no per-level loops)
+    # crush at the owner level; the owner select of factors/endpoints ran
+    # inside the FIT kernel (per-level f8 planes never leave VMEM), and the
+    # crush emits per-BLOCK dist/bpp rows -- everything downstream works at
+    # flat level-0 block granularity (stats become plain sums)
     owner_row = owner[None, :]
     need_q0 = emit_planes or return_state
-    (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m,
-     *eps_sel) = em.owner_crush_pallas(
-        packed_m, mask_m, owner_row,
-        [fit[lvl]["f8"] for lvl in range(num_levels)],
-        [fit[lvl]["endpoints"] for lvl in range(num_levels)],
+    eps_sel = list(eps_sel_m)
+    (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m) = em.owner_crush_pallas(
+        packed_m, mask_m, owner_row, f8_sel, eps_sel_m,
         params, kspec, num_levels, interpret, emit_q=need_q0,
     )
 
@@ -1038,7 +1050,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     ))
     owner0, cnt0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
     ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
-    frows = to_orig(jnp.concatenate([distb_m, fit[0]["avg"]], axis=0))
+    frows = to_orig(jnp.concatenate([distb_m, avg_sel_m], axis=0))
     distb0, avg0 = frows[0], frows[1:1 + ch]
     # the big (64, NBP) pixel planes STAY in Morton order through the
     # coalesce pass (which gathers/scatters them by Morton position via
@@ -1075,32 +1087,26 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         seg0 = lead0
         is_run0 = jnp.zeros((nb,), bool)
         d_ls, owned_ls = [], []
+        # every level's match rows come from the restored OWNER-SELECTED
+        # rows: build_runs only links cells owned at that level, where the
+        # selected rows equal that level's own fit, so each level is a cheap
+        # 2-D strided slice -- the per-level leader-lane Morton restores and
+        # their serial ::4^l lane gathers this replaces measured ~0.9 ms
+        # per 4K (tools/profiling/xplane_detail.py)
+        big_rows = jnp.concatenate([avg0, *ep_rows], axis=0)     # (7ch, nb)
+        big2d = big_rows.reshape(7 * ch, by0, bx0)
         for lvl in range(num_levels):
             grid_l = grids[lvl]
             owned_ls.append(
                 (owner0.reshape(by0, bx0)[:: 1 << lvl, :: 1 << lvl]
                  == lvl).reshape(-1)
             )
-            if lvl == 0:
-                # owner-selected rows == the level-0 fit at owned0 blocks
-                # (the only ones build_runs links)
-                d_ls.append(Decomposition(avg0, *ep_rows))
-            else:
-                # leader-lane fit rows -> original level-L grid order: the
-                # stride-4^L leader lanes are the level-L cells in a
-                # (num_levels - L)-level Morton order, so the same
-                # reshape/transpose restore applies (no gathers)
-                s = 4 ** lvl
-                rows_l = em.morton_restore_rows(
-                    jnp.concatenate(
-                        [fit[lvl]["avg"], *fit[lvl]["endpoints"]], axis=0
-                    )[:, ::s],
-                    grid_l.blocks_y, grid_l.blocks_x, num_levels - lvl,
-                )
-                d_ls.append(Decomposition(
-                    rows_l[:ch],
-                    *(rows_l[ch * (1 + k):ch * (2 + k)] for k in range(6)),
-                ))
+            s = 1 << lvl
+            sl = (big2d[:, ::s, ::s].reshape(7 * ch, -1) if lvl
+                  else big_rows)
+            d_ls.append(Decomposition(
+                sl[:ch], *(sl[ch * (1 + k):ch * (2 + k)] for k in range(6)),
+            ))
         # every level x direction in ONE 27-probe match evaluation
         matches_all = neighbor_pair_matches(d_ls, grids[:num_levels], ch)
         for lvl in range(num_levels):

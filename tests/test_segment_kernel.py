@@ -135,6 +135,41 @@ def test_segment_kernel_channels_factors(channels, num_factors):
     assert np.array_equal(np.asarray(dist), np.asarray(k_dist[0]))
 
 
+@pytest.mark.parametrize("channels", [3, 4])
+def test_match_pairs_kernel(channels):
+    """The neighbor-match kernel must equal ops.match.match_decomps
+    bit-exactly on f32 decomposition rows."""
+    from limg_tpu.ops.match import match_decomps
+    from limg_tpu.pallas_kernels.encode_merged import match_pairs_pallas
+
+    rng = np.random.default_rng(7)
+    n = 3000
+
+    def rand_decomp_rows():
+        avg = rng.uniform(0, 255, (channels, n)).astype(np.float32)
+        ia_min = rng.integers(-30, 200, (channels, n)).astype(np.float32)
+        ia_max = ia_min + rng.integers(0, 120, (channels, n))
+        ib_off = rng.integers(-40, 40, (channels, n)).astype(np.float32)
+        ib_mag = ib_off + rng.integers(0, 60, (channels, n))
+        ic_off = rng.integers(-20, 20, (channels, n)).astype(np.float32)
+        ic_mag = ic_off + rng.integers(0, 30, (channels, n))
+        rows = [avg, ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag]
+        # make a slice of pairs near-identical so fast-accept paths trigger
+        return [r.astype(np.float32) for r in rows]
+
+    ra = rand_decomp_rows()
+    rb = [r + (rng.random((channels, n)) < 0.3) * rng.integers(
+        0, 6, (channels, n)) for r in ra]
+    big_a = jnp.asarray(np.concatenate(ra, axis=0))
+    big_b = jnp.asarray(np.concatenate(rb, axis=0).astype(np.float32))
+    from limg_tpu.ops.fit import Decomposition as D
+    da = D(*(big_a[channels * i:channels * (i + 1)] for i in range(7)))
+    db = D(*(big_b[channels * i:channels * (i + 1)] for i in range(7)))
+    m_j, _ = match_decomps(da, db, channels)
+    m_k = match_pairs_pallas(big_a, big_b, channels, interpret=True)
+    assert np.array_equal(np.asarray(m_j), np.asarray(m_k))
+
+
 def test_coalesce_segments_kernel_path_matches_jnp():
     """The full coalesce engine with use_kernel=True (interpret mode) must
     reproduce the jnp path bit-exactly: acceptance, written-back planes,

@@ -94,18 +94,16 @@ def main():
     def s_fit(img):
         # the REAL path: fit + in-kernel match decisions + owner row
         packed_m, mask_m, grid0, _ = _prep(img, cfg)
-        fit, owner_row, _ = em.fit_levels_pallas(
+        fit, f8_sel, eps_sel, avg_sel, owner_row, _ = em.fit_levels_pallas(
             packed_m, mask_m, params, kspec, LEVELS, False, emit_match=True)
         return owner_row
 
     def _crush(img):
         packed_m, mask_m, grid0, _ = _prep(img, cfg)
-        fit, owner_row, _ = em.fit_levels_pallas(
+        fit, f8_sel, eps_sel, avg_sel, owner_row, _ = em.fit_levels_pallas(
             packed_m, mask_m, params, kspec, LEVELS, False, emit_match=True)
         return em.owner_crush_pallas(
-            packed_m, mask_m, owner_row,
-            [fit[lvl]["f8"] for lvl in range(LEVELS)],
-            [fit[lvl]["endpoints"] for lvl in range(LEVELS)],
+            packed_m, mask_m, owner_row, f8_sel, eps_sel,
             params, kspec, LEVELS, False)
 
     @jax.jit

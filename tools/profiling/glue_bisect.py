@@ -90,7 +90,8 @@ def probe(image, key, stage):
     if stage == "select":
         return f8_sel.sum() + sum(e.sum() for e in eps_sel)
     shifts_m, q_m, dec_m, dist_m = em.owner_crush_pallas(
-        packed_m, mask_m, owner_row, f8_sel, eps_sel, params, kspec, LV, False)
+        packed_m, mask_m, owner_row, f8_sel, tuple(eps_sel), params, kspec,
+        LV, False)[:4]
     if stage == "crush":
         return dec_m.sum()
     inv = np.empty(nb, np.int64)

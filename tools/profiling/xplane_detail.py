@@ -29,7 +29,10 @@ from tools.make_test_image import make_4k
 
 
 def main():
+    import shutil
+
     trace_dir = "/tmp/xplane_fused_detail"
+    shutil.rmtree(trace_dir, ignore_errors=True)   # stale traces double-count
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)

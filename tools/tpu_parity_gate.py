@@ -243,6 +243,35 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
         results[name] = checks
         if not all(checks.values()):
             failures.append(name)
+
+    # the neighbor-match kernel (coalesce run linking): compiled kernel vs
+    # ops.match.match_decomps on f32 decomposition rows
+    from limg_tpu.ops.match import match_decomps
+    from limg_tpu.ops.fit import Decomposition
+    from limg_tpu.pallas_kernels.encode_merged import match_pairs_pallas
+
+    rng4 = np.random.default_rng(31)
+    nm = 20000
+    for ch in (3, 4):
+        avg = rng4.uniform(0, 255, (ch, nm)).astype(np.float32)
+        ia_min = rng4.integers(-30, 200, (ch, nm)).astype(np.float32)
+        rows_a = [avg, ia_min, ia_min + rng4.integers(0, 120, (ch, nm))]
+        for lo, hi in ((-40, 60), (-20, 30)):
+            off = rng4.integers(lo, -lo, (ch, nm)).astype(np.float32)
+            rows_a += [off, off + rng4.integers(0, hi, (ch, nm))]
+        rows_b = [r + (rng4.random((ch, nm)) < 0.3) * rng4.integers(
+            0, 6, (ch, nm)) for r in rows_a]
+        big_a = jnp.asarray(np.concatenate(rows_a, axis=0, dtype=np.float32))
+        big_b = jnp.asarray(np.concatenate(rows_b, axis=0, dtype=np.float32))
+        da = Decomposition(*(big_a[ch * i:ch * (i + 1)] for i in range(7)))
+        db = Decomposition(*(big_b[ch * i:ch * (i + 1)] for i in range(7)))
+        m_j, _ = match_decomps(da, db, ch)
+        m_k = match_pairs_pallas(big_a, big_b, ch)
+        name = f"match_ch{ch}"
+        ok = bool(np.array_equal(np.asarray(m_j), np.asarray(m_k)))
+        results[name] = {"match": ok}
+        if not ok:
+            failures.append(name)
     return results, failures
 
 
