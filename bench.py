@@ -38,7 +38,7 @@ def main():
     from limg_tpu import EncodeConfig
     from limg_tpu.ops import layout
     from limg_tpu.pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
-    from limg_tpu.utils.timing import time_device_fn
+    from limg_tpu.utils.timing import time_device_fn, time_device_fns
     from tools.make_test_image import make_4k
 
     img_np = make_4k()
@@ -58,11 +58,15 @@ def main():
         packed, mask, _ = layout.blockify_packed(img)
         return encode_blocks_pallas(packed, mask, cfg, seed)[:3]
 
-    per_call, det = time_device_fn(lambda: step(img, cfg, seed), iters=50, inner=5)
+    fixed_fn = lambda: step(img, cfg, seed)
 
     # secondary metric: the merged (blocked-path analog) encoder via the
     # fused Morton pipeline, reference baseline 0.662 Mpx/s single-core
-    # blocked (BASELINE_MEASURED.md) -> ~10.6 Mpx/s est. 16-core
+    # blocked (BASELINE_MEASURED.md) -> ~10.6 Mpx/s est. 16-core.
+    # Fixed and merged are timed INTERLEAVED (time_device_fns) so both see
+    # the same shared-pool contention: the pool varies 1-2.2x run to run,
+    # which makes merged_vs_fixed_ratio the contention-invariant number to
+    # compare across rounds, while absolute ms swing with pool load.
     ok = True
     try:
         from limg_tpu.regions import encode_image_merged_fused_device
@@ -71,17 +75,40 @@ def main():
         fm = lambda: encode_image_merged_fused_device(
             img, cfg, key, 3, emit_planes=False, coalesce=True
         )["decoded_words"]
-        t_m, _ = time_device_fn(fm, iters=15, inner=5)
+        samples, rtt = time_device_fns(
+            {"fixed": fixed_fn, "merged": fm}, rounds=10, inner=5
+        )
+        sf = np.asarray(samples["fixed"])
+        sm = np.asarray(samples["merged"])
+        per_call = float(np.median(sf))
+        det = {
+            "rtt_s": rtt,
+            "best_s": float(sf.min()),
+            "worst_s": float(sf.max()),
+            "std_s": float(sf.std(ddof=1)),
+        }
+        t_m = float(np.median(sm))
         merged_det = {
             "merged_ms_per_image": round(t_m * 1e3, 3),
             "merged_mpxs": round(h * w * 1e-6 / t_m, 1),
             "merged_vs_blocked_16core_est": round(
                 h * w * 1e-6 / t_m / (0.662 * 16.0), 1
             ),
+            # both paths in one round share one contention level. Measured
+            # (STATUS.md item 11): pool contention adds ~the same ABSOLUTE
+            # delay to both paths, so merged_minus_fixed_ms is the
+            # contention-invariant number to compare across rounds (the
+            # ratio deflates under load as both terms inflate); r2's
+            # equivalents: diff 20.4 ms, clean ratio 4.41
+            "merged_vs_fixed_ratio": round(float(np.median(sm / sf)), 3),
+            "merged_minus_fixed_ms": round(
+                float(np.median(sm - sf)) * 1e3, 3
+            ),
         }
     except Exception as e:
         # a broken merged path must not look green: flag the whole run
         ok = False
+        per_call, det = time_device_fn(fixed_fn, iters=50, inner=5)
         merged_det = {"merged_error": repr(e)[:200]}
 
     # the development TPU is a shared tunneled pool with 2-4x run-to-run

@@ -62,3 +62,44 @@ def time_device_fn(fn, *args, iters: int = 20, inner: int = 5):
         "std_s": float(samples.std(ddof=1)) if samples.size > 1 else 0.0,
         "batches": [round(b, 5) for b in batch_times],
     }
+
+
+def time_device_fns(fns: dict, rounds: int = 10, inner: int = 5):
+    """Interleaved timing of several paths under SHARED contention.
+
+    The shared dev TPU pool's load varies 1-2.2x on a ~minute timescale, so
+    timing path A for a while and then path B charges the two paths
+    different contention levels and produces fantasy ratios (we measured the
+    same two paths at 0.95x and 1.43x of each other on the same day that
+    way). This round-robins small batches of every fn, so each round's
+    samples share one contention level and per-round RATIOS are trustworthy
+    even when absolute times are not.
+
+    Returns (samples, rtt_s): ``samples[name]`` is a list of
+    seconds-per-call, one entry per round, in round order.
+    """
+    outs = {}
+    for name, fn in fns.items():
+        outs[name] = fn()                 # warmup / compile
+        _sync_scalar(outs[name])
+
+    first = next(iter(outs))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync_scalar(outs[first])
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    samples = {name: [] for name in fns}
+    for _ in range(rounds):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(inner):
+                out = fn()
+            _sync_scalar(out)
+            samples[name].append(
+                max(time.perf_counter() - t0 - rtt, 1e-9) / inner
+            )
+    return samples, rtt
