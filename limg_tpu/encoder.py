@@ -170,7 +170,7 @@ def encode_perf_step_pallas(image: jnp.ndarray, cfg: EncodeConfig,
     """Fused-kernel perf step (what bench.py measures)."""
     from .pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
 
-    if image.ndim == 2 or image.shape[2] == 4:
+    if image.ndim in (2, 4) or image.shape[2] == 4:
         packed, mask, grid = layout.blockify_packed(image, BLOCK_SIZE)
     else:
         px, mask, grid = layout.blockify(image, BLOCK_SIZE)

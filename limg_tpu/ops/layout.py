@@ -77,16 +77,60 @@ def packed_words(image) -> jnp.ndarray:
     return lax.bitcast_convert_type(image, jnp.int32)
 
 
-def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE):
+def host_block_view(image: np.ndarray, block: int = BLOCK_SIZE):
+    """HOST-side (H, W, 4) u8 / (H, W) i32 -> ((by, b, bx, b) i32 view, h, w).
+
+    Free numpy reinterpretation when H and W are multiples of ``block``
+    (the row-major bytes of the image ARE the 4-D view); otherwise one host
+    memcpy pads to the grid. Shipping this view to the device instead of
+    (H, W) words skips an on-device retile: XLA materializes the
+    (H, W) -> (by, b, bx, b) reshape as a full T(8,128) re-tiling pass
+    (~0.8 ms per 4K, tools/profiling/xplane_detail.py) even though the
+    bytes don't move.
+    """
+    if image.ndim == 3:
+        image = packed_words(image)
+    image = np.asarray(image)
+    h, w = image.shape
+    g = grid_for(h, w, block)
+    pad_y = g.blocks_y * block - h
+    pad_x = g.blocks_x * block - w
+    if pad_y or pad_x:
+        image = np.pad(image, ((0, pad_y), (0, pad_x)))
+    view = image.reshape(g.blocks_y, block, g.blocks_x, block)
+    return view, h, w
+
+
+def _block_mask(h: int, w: int, g: BlockGrid, block: int):
+    ys = np.arange(g.blocks_y * block).reshape(g.blocks_y, block)
+    xs = np.arange(g.blocks_x * block).reshape(g.blocks_x, block)
+    valid = (ys < h)[:, :, None, None] & (xs < w)[None, None, :, :]
+    return jnp.asarray(
+        valid.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
+    )
+
+
+def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE,
+                    hw: tuple | None = None):
     """RGBA image -> ((block*block, NB) int32 packed words, mask, grid).
 
-    Accepts (H, W, 4) uint8 or pre-packed (H, W) int32 words (see
-    packed_words). Fast path for the fused kernels: packing is a bitcast and
-    the relayout moves one int32 plane instead of four channel planes.
+    Accepts (H, W, 4) uint8, pre-packed (H, W) int32 words (see
+    packed_words), or the free (by, block, bx, block) int32 host view (see
+    host_block_view; pass ``hw`` for edge-padded images so the mask knows
+    the real extent). Fast path for the fused kernels: packing is a bitcast
+    and the relayout moves one int32 plane instead of four channel planes.
     Produces bit-identical output to ``pack_channels(blockify(image)[0])``.
     """
     from jax import lax
 
+    if image.ndim == 4:
+        by, b1, bx, b2 = image.shape
+        assert b1 == block and b2 == block
+        h, w = hw if hw is not None else (by * block, bx * block)
+        g = grid_for(h, w, block)
+        assert (g.blocks_y, g.blocks_x) == (by, bx)
+        px = image.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
+        return px, _block_mask(h, w, g, block), g
     if image.ndim == 2:
         packed2d = image
         h, w = image.shape
@@ -99,14 +143,7 @@ def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE):
                                 (0, g.blocks_x * block - w)))
     tiles = padded.reshape(g.blocks_y, block, g.blocks_x, block)
     px = tiles.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
-
-    ys = np.arange(g.blocks_y * block).reshape(g.blocks_y, block)
-    xs = np.arange(g.blocks_x * block).reshape(g.blocks_x, block)
-    valid = (ys < h)[:, :, None, None] & (xs < w)[None, None, :, :]
-    mask = jnp.asarray(
-        valid.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
-    )
-    return px, mask, g
+    return px, _block_mask(h, w, g, block), g
 
 
 def unblockify(px: jnp.ndarray, grid: BlockGrid, block: int = BLOCK_SIZE) -> jnp.ndarray:

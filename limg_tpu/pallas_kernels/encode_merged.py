@@ -174,18 +174,25 @@ def morton_blockify_packed(packed2d, h: int, w: int, levels: int):
 
     grid = layout.grid_for(h, w)
     by, bx = grid.blocks_y, grid.blocks_x
-    pad_y, pad_x = by * 8 - h, bx * 8 - w
-    x = packed2d
-    if pad_y or pad_x:
-        x = jnp.pad(x, ((0, pad_y), (0, pad_x)))
+    if packed2d.ndim == 4:
+        # the free (by, 8, bx, 8) host view (layout.host_block_view): skips
+        # the on-device (H, W) -> 4-D retile pass (~0.8 ms per 4K)
+        assert packed2d.shape == (by, 8, bx, 8)
+        x = packed2d
+    else:
+        pad_y, pad_x = by * 8 - h, bx * 8 - w
+        x = packed2d
+        if pad_y or pad_x:
+            x = jnp.pad(x, ((0, pad_y), (0, pad_x)))
+        x = x.reshape(by, 8, bx, 8)
     x = jax.lax.optimization_barrier(x)
-    packed = x.reshape(by, 8, bx, 8).transpose(1, 3, 0, 2).reshape(
-        64, by * bx)
+    packed = x.transpose(1, 3, 0, 2).reshape(64, by * bx)
     packed = jax.lax.optimization_barrier(packed)
     return morton_embed_rows(packed, by, bx, levels)
 
 
-def morton_unblockify(rows64_m, h: int, w: int, levels: int):
+def morton_unblockify(rows64_m, h: int, w: int, levels: int,
+                      as_4d: bool = False):
     """(64, NBP) Morton pixel plane -> (H, W); inverse of
     morton_blockify_packed (same two-pass rationale: restore lanes, then
     the T(8,128)-friendly unblockify).
@@ -196,14 +203,22 @@ def morton_unblockify(rows64_m, h: int, w: int, levels: int):
     splitting it into THREE materialized ~33 MB steps (~2.4 ms per 4K,
     xplane traces); fenced it is ONE transpose copy (~0.2 ms,
     tools/profiling/unblockify_probe.py -- the unfenced single-plane
-    variant measured 3.2 ms standalone)."""
+    variant measured 3.2 ms standalone).
+
+    ``as_4d`` returns the uncropped (by, 8, bx, 8) view instead: its
+    row-major bytes ARE the (by*8, bx*8) image, so the host reshapes for
+    free while the device skips the 4-D -> (H, W) T(8,128) retile pass
+    (~0.8 ms per 4K, the same pass host_block_view saves on input)."""
     from ..ops import layout
 
     grid = layout.grid_for(h, w)
     by, bx = grid.blocks_y, grid.blocks_x
     rows = morton_restore_rows(rows64_m, by, bx, levels)
     x = jax.lax.optimization_barrier(rows)
-    t = x.reshape(8, 8, by, bx).transpose(2, 0, 3, 1).reshape(by * 8, bx * 8)
+    t = x.reshape(8, 8, by, bx).transpose(2, 0, 3, 1)      # (by, 8, bx, 8)
+    if as_4d:
+        return jax.lax.optimization_barrier(t)
+    t = t.reshape(by * 8, bx * 8)
     return jax.lax.optimization_barrier(t)[:h, :w]
 
 
@@ -231,6 +246,35 @@ def morton_mask(h: int, w: int, levels: int):
         xb = xb | (((p >> (2 * b)) & 1) << b)
     row = ((sc // scx_n) * g + yb) * 8 + (lane >> 3)
     col = ((sc % scx_n) * g + xb) * 8 + (lane & 7)
+    return ((row < h) & (col < w)).astype(jnp.int32)
+
+
+def _tile_morton_mask(h: int, w: int, levels: int, shape, lane_offset):
+    """In-kernel validity mask for one (P, T) Morton lane tile.
+
+    Same integer arithmetic as ``morton_mask`` (bit-identical by
+    construction), evaluated on the tile's own iotas: h/w are static (the
+    kernel is shape-specialized per image size anyway, so this adds no
+    recompiles) and ``lane_offset`` = program_id * T. Computing the mask
+    inside the kernels removes the materialized (64, NBP) mask plane
+    (33 MB of HBM build + read per 4K per kernel). Grid-padding lanes
+    (p >= byp*bxp) decode to rows >= h and mask to 0 automatically.
+    """
+    g = 1 << (levels - 1)
+    L = levels - 1
+    bx = (w + 7) // 8
+    bxp = ((bx + g - 1) // g) * g
+    scx_n = bxp // g
+    p = lane_offset + lax.broadcasted_iota(jnp.int32, shape, 1)
+    sub = lax.broadcasted_iota(jnp.int32, shape, 0)
+    sc = p >> (2 * L)
+    yb = jnp.zeros_like(p)
+    xb = jnp.zeros_like(p)
+    for b in range(L):
+        yb = yb | (((p >> (2 * b + 1)) & 1) << b)
+        xb = xb | (((p >> (2 * b)) & 1) << b)
+    row = ((sc // scx_n) * g + yb) * 8 + (sub >> 3)
+    col = ((sc % scx_n) * g + xb) * 8 + (sub & 7)
     return ((row < h) & (col < w)).astype(jnp.int32)
 
 
@@ -482,18 +526,22 @@ def match_pairs_pallas(rows_a, rows_b, channels: int, interpret: bool = False):
 
 
 def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
-                            emit_match: bool = False):
+                            emit_match: bool = False,
+                            hw: tuple | None = None):
     channels = spec.channels
 
-    def kernel(params_ref, packed_ref, mask_ref, *out_refs):
+    def kernel(params_ref, packed_ref, *out_refs):
         packed = packed_ref[...]
-        mask_i = mask_ref[...]
         lanes = packed.shape[-1]
+        mask_i = _tile_morton_mask(
+            hw[0], hw[1], levels, packed.shape, pl.program_id(0) * lanes
+        )
         lane = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
         refs = list(out_refs)
         owner = jnp.zeros((1, lanes), jnp.int32)
         alive = jnp.ones((1, lanes), jnp.int32)
         reason_rows = []
+        count_lvls = []
         f8_lvls, eps_lvls = [], []
         prev = None
         for lvl in range(levels):
@@ -510,12 +558,12 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
                 # per-level f8/endpoint/avg rows stay in VMEM for the final
                 # owner select -- emitting them per level (and re-reading
                 # them in the crush kernel / the driver's leader-lane match
-                # slices) cost ~160 MB of HBM round-trips per 4K; only the
-                # per-level count row leaves the kernel (stats)
+                # slices) cost ~160 MB of HBM round-trips per 4K; the
+                # per-level count rows stay in VMEM too (stats leave as
+                # leader-lane indicator rows, not per-level planes)
                 f8_lvls.append(f8_packed)
                 eps_lvls.append(eps_arr + (avg_arr,))
-                refs[0][...] = count                           # (1, T) i32
-                refs = refs[1:]
+                count_lvls.append(count)
             else:
                 f8_ref, *rest = refs[:9]
                 f8_ref[...] = f8_packed
@@ -574,21 +622,37 @@ def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
                 f8_sel = jnp.where(sel, f8_lvls[lvl], f8_sel)
                 eps_sel = [jnp.where(sel, e, o)
                            for e, o in zip(eps_lvls[lvl], eps_sel)]
-            refs[0][...] = f8_sel
+            refs[0][...] = count_lvls[0]              # per-block pixel count
+            refs[1][...] = f8_sel
             for i, e in enumerate(eps_sel):
-                refs[1 + i][...] = e
-            refs[8][...] = owner
+                refs[2 + i][...] = e
+            refs[9][...] = owner
+            # stats rows (replace the driver's ::4^l strided leader slices,
+            # which lowered to ~0.8 ms of serial lane gathers per 4K):
+            # bit l of stats_bits marks a level-l leader lane whose group
+            # merged to >= l and is nonempty (alive_counts); each reason row
+            # carries the group-ORed reason bitmask at nonempty level-l
+            # leader lanes only (merge_stats) -- the driver just sums bits.
+            stats_bits = jnp.zeros((1, lanes), jnp.int32)
+            for lvl in range(levels):
+                is_lead = (lane & (4 ** lvl - 1)) == 0
+                hit = is_lead & (owner >= lvl) & (count_lvls[lvl] > 0)
+                stats_bits = stats_bits | (hit.astype(jnp.int32) << lvl)
+            refs[10][...] = stats_bits
             for i, rr in enumerate(reason_rows):
-                refs[9 + i][...] = rr
+                lvl = i + 1
+                is_lead = (lane & (4 ** lvl - 1)) == 0
+                keep = is_lead & (count_lvls[lvl] > 0)
+                refs[11 + i][...] = jnp.where(keep, rr, 0)
 
     return kernel
 
 
 def _make_owner_crush_kernel(spec: KernelSpec, levels: int,
-                             emit_q: bool = True):
+                             emit_q: bool = True, hw: tuple | None = None):
     channels = spec.channels
 
-    def kernel(params_ref, packed_ref, mask_ref, owner_ref, f8_ref, *rest):
+    def kernel(params_ref, packed_ref, owner_ref, f8_ref, *rest):
         # the owner select of factors/endpoints already ran inside the fit
         # kernel (fit_levels emits ONE selected plane instead of one per
         # level -- saves ~134 MB of HBM round-trips per 4K)
@@ -598,7 +662,10 @@ def _make_owner_crush_kernel(spec: KernelSpec, levels: int,
         q_ref = outs.pop(0) if emit_q else None
         (dec_ref, dist_ref, distb_ref, bpp_ref) = outs
         packed = packed_ref[...]
-        mask_i = mask_ref[...]
+        mask_i = _tile_morton_mask(
+            hw[0], hw[1], levels, packed.shape,
+            pl.program_id(0) * packed.shape[-1],
+        )
         owner = owner_ref[...]
         red = _OwnerReducer(owner, levels)
         f8_packed = f8_ref[...]
@@ -649,98 +716,106 @@ def _pad_lanes(x, nbp):
 
 @functools.partial(jax.jit,
                    static_argnames=("kspec", "levels", "interpret",
-                                    "emit_match"))
-def fit_levels_pallas(packed_px, mask_i, params, kspec: KernelSpec,
-                      levels: int, interpret: bool, emit_match: bool = False):
+                                    "emit_match", "hw"))
+def fit_levels_pallas(packed_px, params, kspec: KernelSpec,
+                      levels: int, interpret: bool, hw: tuple,
+                      emit_match: bool = False):
     """All-levels fit over Morton-ordered blocks.
 
     packed_px: (64, NBP) int32 Morton-ordered packed pixels (NBP a multiple
-    of 4^(levels-1)); mask_i: (64, NBP) int32. Returns a list of per-level
-    dicts {f8 (64, NBP) i32, endpoints tuple of 6 (ch, NBP) i32, avg
-    (ch, NBP) f32, count (1, NBP) i32}; region rows are broadcast across
-    their member lanes.
+    of 4^(levels-1)); ``hw`` = the image's true (h, w) -- the validity mask
+    is computed IN-KERNEL from it (bit-identical to ``morton_mask``),
+    removing the materialized 33 MB mask plane. Without ``emit_match``
+    returns a list of per-level dicts {f8 (64, NBP) i32, endpoints tuple of
+    6 (ch, NBP) i32, avg (ch, NBP) f32, count (1, NBP) i32}; region rows
+    are broadcast across their member lanes.
 
     With ``emit_match`` the kernel ALSO runs the merge decisions (in-kernel
     _match_rows + alive-chain butterflies) and the OWNER SELECT of the
     factor plane / endpoint / avg rows (their only consumers -- the crush
     kernel and the driver's coalesce-match slices -- read owner-level
     values, so per-level planes never leave VMEM). The returned tuple is
-    (fits [dicts with count ONLY], f8_sel (64, NBP) i32, eps_sel tuple of
-    6 (ch, NBP) i32, avg_sel (ch, NBP) f32, owner (1, NBP) i32, reasons
-    list of levels-1 (1, NBP) i32 bitmask rows of MATCH_REASON_BITS,
-    group-ORed and broadcast across each parent's lanes).
+    (cnt0 (1, NBP) i32 per-block pixel counts, f8_sel (64, NBP) i32,
+    eps_sel tuple of 6 (ch, NBP) i32, avg_sel (ch, NBP) f32, owner
+    (1, NBP) i32, stats_bits (1, NBP) i32 [bit l = nonempty level-l leader
+    lane merged to >= l], reasons list of levels-1 (1, NBP) i32
+    MATCH_REASON_BITS bitmask rows at nonempty leader lanes only).
     """
     p, nb = packed_px.shape
     packed_px = _pad_lanes(packed_px, nb)
-    mask_i = _pad_lanes(mask_i, nb)
     nbp = packed_px.shape[-1]
     grid = nbp // _T_LANES
     ch = kspec.channels
 
     out_shapes, out_specs = [], []
-    for _ in range(levels):
-        if not emit_match:
+    if not emit_match:
+        for _ in range(levels):
             out_shapes += [jax.ShapeDtypeStruct((p, nbp), jnp.int32)]
             out_specs += [_row_spec(p)]
             out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
             out_specs += [_row_spec(ch)] * 6
             out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.float32)]
             out_specs += [_row_spec(ch)]
+            out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)]
+            out_specs += [_row_spec(1)]
+    else:
+        # cnt0 + f8_sel + 6 eps_sel + avg_sel + owner + stats_bits
+        # + (levels-1) reason rows
         out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)]
         out_specs += [_row_spec(1)]
-    if emit_match:
-        # f8_sel + 6 eps_sel + avg_sel + owner + (levels-1) reason rows
         out_shapes += [jax.ShapeDtypeStruct((p, nbp), jnp.int32)]
         out_specs += [_row_spec(p)]
         out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.int32)] * 6
         out_specs += [_row_spec(ch)] * 6
         out_shapes += [jax.ShapeDtypeStruct((ch, nbp), jnp.float32)]
         out_specs += [_row_spec(ch)]
-        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)] * levels
-        out_specs += [_row_spec(1)] * levels
+        out_shapes += [jax.ShapeDtypeStruct((1, nbp), jnp.int32)] * (levels + 1)
+        out_specs += [_row_spec(1)] * (levels + 1)
 
     outs = pl.pallas_call(
-        _make_fit_levels_kernel(kspec, levels, emit_match),
+        _make_fit_levels_kernel(kspec, levels, emit_match, hw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
-            in_specs=[_row_spec(p), _row_spec(p)],
+            in_specs=[_row_spec(p)],
             out_specs=tuple(out_specs),
         ),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(params, packed_px, mask_i)
+    )(params, packed_px)
 
-    per_lvl = 1 if emit_match else 9
+    if emit_match:
+        cnt0 = outs[0][:, :nb]
+        f8_sel = outs[1][:, :nb]
+        eps_sel = tuple(e[:, :nb] for e in outs[2:8])
+        avg_sel = outs[8][:, :nb]
+        owner = outs[9][:, :nb]
+        stats_bits = outs[10][:, :nb]
+        reasons = [r[:, :nb] for r in outs[11:]]
+        return cnt0, f8_sel, eps_sel, avg_sel, owner, stats_bits, reasons
     result = []
     for lvl in range(levels):
-        rest = outs[per_lvl * lvl:per_lvl * (lvl + 1)]
-        d = dict(count=rest[-1][:, :nb])
-        if not emit_match:
-            d["f8"] = rest[0][:, :nb]
-            d["endpoints"] = tuple(r[:, :nb] for r in rest[1:7])
-            d["avg"] = rest[7][:, :nb]
-        result.append(d)
-    if emit_match:
-        extra = outs[per_lvl * levels:]
-        f8_sel = extra[0][:, :nb]
-        eps_sel = tuple(e[:, :nb] for e in extra[1:7])
-        avg_sel = extra[7][:, :nb]
-        owner = extra[8][:, :nb]
-        reasons = [r[:, :nb] for r in extra[9:]]
-        return result, f8_sel, eps_sel, avg_sel, owner, reasons
+        rest = outs[9 * lvl:9 * (lvl + 1)]
+        result.append(dict(
+            f8=rest[0][:, :nb],
+            endpoints=tuple(r[:, :nb] for r in rest[1:7]),
+            avg=rest[7][:, :nb],
+            count=rest[8][:, :nb],
+        ))
     return result
 
 
 @functools.partial(jax.jit, static_argnames=("kspec", "levels", "interpret",
-                                              "emit_q"))
-def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
+                                              "emit_q", "hw"))
+def owner_crush_pallas(packed_px, owner, f8_sel, eps_sel, params,
                        kspec: KernelSpec, levels: int, interpret: bool,
-                       emit_q: bool = True):
+                       hw: tuple, emit_q: bool = True):
     """Crush + dither + decode once per pixel at each block's owner level.
 
     owner: (1, NBP) i32 in [0, levels); f8_sel: the OWNER-SELECTED packed
     factor plane (P, NBP) from fit_levels_pallas(emit_match=True); eps_sel:
-    6-tuple of owner-selected (ch, NBP) endpoint rows. Returns
+    6-tuple of owner-selected (ch, NBP) endpoint rows; ``hw`` = the image's
+    true (h, w) -- the validity mask is computed IN-KERNEL (bit-identical
+    to ``morton_mask``). Returns
     (shifts (3, NBP), q_packed, dec_packed (P, NBP), dist (1, NBP) broadcast
     per region, dist_blk (1, NBP) per-BLOCK error, bpp_blk (1, NBP)
     region-amortized bpp).
@@ -750,7 +825,6 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
     """
     p, nb = packed_px.shape
     packed_px = _pad_lanes(packed_px, nb)
-    mask_i = _pad_lanes(mask_i, nb)
     owner = _pad_lanes(owner, nb)
     f8_sel = _pad_lanes(f8_sel, nb)
     eps_flat = [_pad_lanes(e, nb) for e in eps_sel]
@@ -762,10 +836,10 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
     q_shapes = ((jax.ShapeDtypeStruct((p, nbp), jnp.int32),) if emit_q
                 else ())
     outs = pl.pallas_call(
-        _make_owner_crush_kernel(kspec, levels, emit_q),
+        _make_owner_crush_kernel(kspec, levels, emit_q, hw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
-            in_specs=[_row_spec(p), _row_spec(p), _row_spec(1), _row_spec(p)]
+            in_specs=[_row_spec(p), _row_spec(1), _row_spec(p)]
             + [_row_spec(ch)] * 6,
             out_specs=(_row_spec(3),) + q_specs
             + (_row_spec(p), _row_spec(1), _row_spec(1), _row_spec(1)),
@@ -777,7 +851,7 @@ def owner_crush_pallas(packed_px, mask_i, owner, f8_sel, eps_sel, params,
             jax.ShapeDtypeStruct((1, nbp), jnp.int32),
         ),
         interpret=interpret,
-    )(params, packed_px, mask_i, owner, f8_sel, *eps_flat)
+    )(params, packed_px, owner, f8_sel, *eps_flat)
     outs = tuple(o[:, :nb] for o in outs)
     if not emit_q:
         outs = outs[:1] + (None,) + outs[1:]

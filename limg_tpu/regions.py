@@ -263,7 +263,10 @@ def neighbor_pair_matches(decomps, grids, channels: int):
     merged encode (tools/profiling/coalesce_stages.py). The pairs of every
     level and both directions concatenate along the lane axis into one call.
 
-    decomps: list of Decomposition (ch, gy_l*gx_l) in original grid order.
+    decomps: list of Decomposition (ch, gy_l*gx_l) in original grid order,
+    or of already-stacked (7*ch, gy_l*gx_l) arrays (avg + 6 endpoint rows,
+    the Decomposition field order) -- the fused driver holds that stacked
+    form already, so passing it skips one (7*ch, n) concat per level.
     Returns [(m_left (gy, gx-1) | None, m_up (gy-1, gx) | None)] per level.
     """
     # each part ships as ONE stacked (7*ch, n) f32 array (endpoints are
@@ -274,9 +277,10 @@ def neighbor_pair_matches(decomps, grids, channels: int):
     parts_a, parts_b, sizes = [], [], []
     for d, grid in zip(decomps, grids):
         gy, gx = grid.blocks_y, grid.blocks_x
-        rows = jnp.concatenate(
-            [f.astype(jnp.float32) for f in d], axis=0
-        ).reshape(7 * ch, gy, gx)
+        stacked = (d if isinstance(d, jnp.ndarray)
+                   else jnp.concatenate([f.astype(jnp.float32) for f in d],
+                                        axis=0))
+        rows = stacked.astype(jnp.float32).reshape(7 * ch, gy, gx)
 
         def part(sl_y, sl_x, r=rows, n=7 * ch):
             return r[:, sl_y, sl_x].reshape(n, -1)
@@ -338,7 +342,8 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
     SEG_CAP; multi-level callers pass SEG_CAP >> 2L so a run of level-L
     squares never exceeds SEG_CAP level-0 blocks). ``matches`` passes
     precomputed (m_left, m_up) rows from neighbor_pair_matches so several
-    levels share one match_decomps evaluation. Returns (seg_id (NB,)
+    levels share one match_decomps evaluation; ``d_lvl`` may then be None
+    (it is only read to compute matches). Returns (seg_id (NB,)
     i32 -- the run's first block's flat index; run_len (NB,) i32 per cell).
     """
     from jax import lax
@@ -471,7 +476,7 @@ def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
 def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
                          cfg: EncodeConfig, key, bsz: int,
                          merge_policy: str, rd_lambda: float,
-                         cap_frac: int = 4, header_bits: int | None = None,
+                         cap_frac: int = 8, header_bits: int | None = None,
                          packed_blk=None, mask=None):
     """Refit + re-encode coalesced runs at one level, updating ``lv``.
 
@@ -507,7 +512,7 @@ def coalesce_level_bands(image, lv: dict, grid, owned: jnp.ndarray,
 
 def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
                       cfg: EncodeConfig, key, merge_policy: str,
-                      rd_lambda, cap_frac: int = 4,
+                      rd_lambda, cap_frac: int = 8,
                       header_bits: int | None = None, mpos=None,
                       use_kernel: bool | None = None):
     """Segment refit/crush engine shared by the per-level and the unified
@@ -521,7 +526,9 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     are in MORTON lane order (NBP lanes) and ``mpos[b]`` is block b's
     Morton position -- the fused driver keeps those planes Morton-resident
     so each pays exactly one relayout for the whole encode. All other rows
-    stay in original block order.
+    stay in original block order. ``mask`` may be None for 8-aligned
+    images (every real block fully valid): the member mask is then derived
+    from the run selector alone and no mask plane is ever materialized.
 
     ``use_kernel``: run the whole refit/crush/dither/decode in the fused
     segment Pallas kernel (pallas_kernels/encode_segments.py) -- default on
@@ -551,9 +558,14 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # seg-id gathers (1-D gathers lower to ~1 ms serial loops on TPU).
     # Small/medium grids get FULL capacity (no run is ever dropped): the
     # fused segment kernel (encode_segments.py) made per-lane cost low enough
-    # that only large grids bound the buffer, where nb/cap_frac keeps photo
-    # content (few runs) cheap. A 301x437 CLI encode previously dropped 978
-    # of ~1500 run blocks at cap=522.
+    # that only large grids bound the buffer, where nb/cap_frac bounds the
+    # kernel + gather/scatter cost. A 301x437 CLI encode previously dropped
+    # 978 of ~1500 run blocks at cap=522. Default cap_frac=8: on a 4K it
+    # costs +0.026 bpp vs cap_frac=4 on run-heavy content (both caps
+    # saturate there -- the linking predicate selects most blocks and the
+    # bits guard rejects most candidates) while halving the coalesce pass
+    # (tools/profiling/cap_frac_probe.py); truncation stays observable via
+    # overflow_run_blocks/dropped_runs_at_capacity.
     cap = nb if nb <= 4096 else max(4096, nb // cap_frac)
     sort_key = jnp.where(is_run, seg_id, jnp.int32(2**30))
     order = jnp.argsort(sort_key, stable=True)                   # runs first
@@ -576,7 +588,14 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
         old_bits_sel = old_bits_sel + (header_bits - static_block_bits(ch))
     old_dist_sel = lax.bitcast_convert_type(rows_i[3], jnp.float32)
     packed_c = packed_blk[:, sel_p]                              # (P, cap)
-    mask_c = mask[:, sel_p].astype(bool) & sel_is_run[None, :]
+    if mask is None:
+        # 8-aligned image: every selected block is fully valid (the fused
+        # driver only materializes the Morton mask plane for edge-padded
+        # images), so the member mask is just the run selector
+        mask_c = jnp.broadcast_to(sel_is_run[None, :],
+                                  (packed_c.shape[0], cap))
+    else:
+        mask_c = mask[:, sel_p].astype(bool) & sel_is_run[None, :]
     # contiguous remap: new id = first position of the segment in the buffer
     pos = jnp.arange(cap, dtype=jnp.int32)
     is_seg_start = jnp.concatenate(
@@ -700,15 +719,20 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # single-row scatters lower to ~1 ms serial loops on TPU; the small
     # per-block rows (shifts/bits/bpp/endpoints, dist/avg) are combined into
     # ONE i32 and ONE f32 multi-row scatter, and the two big pixel planes
-    # stay as their own multi-row scatters
-    def put_at(idx):
+    # stay as their own multi-row scatters. Rejected columns route to an
+    # out-of-range index and scatter-drop -- writing ONLY accepted columns
+    # avoids gathering the dst columns first (the where(accept, src,
+    # dst[..., idx]) form paid one full multi-row GATHER per scatter,
+    # ~0.65 ms per 4K across the three write-backs).
+    def put_at(idx, width):
+        safe = jnp.where(accept, idx, jnp.int32(width))
+
         def put(dst, src_c):
-            upd = jnp.where(accept, src_c, dst[..., idx])
-            return dst.at[..., idx].set(upd)
+            return dst.at[..., safe].set(src_c, mode="drop")
         return put
 
-    put = put_at(sel)
-    put_plane = put_at(sel_p)                    # Morton planes when mpos
+    put = put_at(sel, nb)
+    put_plane = put_at(sel_p, packed_blk.shape[-1])  # Morton planes when mpos
 
     lv = dict(lv)
     lv["dec_packed"] = put_plane(lv["dec_packed"], dec_packed_c)
@@ -950,13 +974,15 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_levels", "emit_planes", "coalesce",
-                     "return_state"),
+                     "return_state", "hw", "cap_frac"),
 )
 def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                                      dither_key: jax.Array, num_levels: int = 3,
                                      emit_planes: bool = True,
                                      coalesce: bool = True,
-                                     return_state: bool = False):
+                                     return_state: bool = False,
+                                     hw: tuple | None = None,
+                                     cap_frac: int = 8):
     """Merged encode via the fused Morton-layout kernels (match policy).
 
     Functionally equivalent to ``encode_image_merged_device(...,
@@ -972,12 +998,20 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     from .pallas_kernels import encode_merged as em
 
     ch = cfg.channels
-    h, w = image.shape[:2]
-    if image.ndim == 2:
+    if image.ndim == 4:
+        # the free (by, 8, bx, 8) host view (layout.host_block_view); hw
+        # carries the real extent for edge-padded images
+        h, w = hw if hw is not None else (image.shape[0] * 8,
+                                          image.shape[2] * 8)
+        packed2d = image
+    elif image.ndim == 2:
+        h, w = image.shape
         packed2d = image
     elif image.shape[2] == 4:
+        h, w = image.shape[:2]
         packed2d = jax.lax.bitcast_convert_type(image, jnp.int32)
     else:
+        h, w = image.shape[:2]
         im = image.astype(jnp.int32)
         packed2d = im[..., 0] | (im[..., 1] << 8) | (im[..., 2] << 16)
     grid0 = layout.grid_for(h, w, BLOCK_SIZE)
@@ -985,11 +1019,13 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     by0, bx0 = grid0.blocks_y, grid0.blocks_x
     # blockify + Morton embed as the two-pass reshape/transpose chain (lane
     # gathers lower to serial loops on TPU, and a fused single-chain variant
-    # measured slower -- morton_blockify_packed docstring). The mask is
-    # built elementwise in Morton coordinates: no relayout and no 33 MB
-    # compile-time mask constant shipped through the tunnel per compile.
+    # measured slower -- morton_blockify_packed docstring). The validity
+    # mask is computed IN-KERNEL from (h, w) iotas (no materialized 33 MB
+    # plane); only the coalesce pass of an edge-padded image still needs the
+    # elementwise Morton-order plane (it gathers mask columns by position).
     packed_m = em.morton_blockify_packed(packed2d, h, w, num_levels)
-    mask_m = em.morton_mask(h, w, num_levels)
+    aligned = h % BLOCK_SIZE == 0 and w % BLOCK_SIZE == 0
+    mask_m = None if aligned else em.morton_mask(h, w, num_levels)
 
     def to_orig(x):
         return em.morton_restore_rows(x, by0, bx0, num_levels)
@@ -1007,23 +1043,23 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     # over strided leader slices -- that glue measured ~8 ms per 4K
     # (tools/profiling/xplane_top.py). Empty (grid padding) children
     # auto-match as in the dense path.
-    (fit, f8_sel, eps_sel_m, avg_sel_m, owner_row_m,
+    (cnt0_m, f8_sel, eps_sel_m, avg_sel_m, owner_row_m, stats_bits_m,
      reason_rows) = em.fit_levels_pallas(
-        packed_m, mask_m, params, kspec, num_levels, interpret,
+        packed_m, params, kspec, num_levels, interpret, hw=(h, w),
         emit_match=True,
     )
     owner = owner_row_m[0]
 
+    # reason rows leave the kernel masked to nonempty level-l leader lanes
+    # (zero elsewhere), so each stat is a plain full-row bit count -- no
+    # ::4^l strided leader slices (those lowered to serial lane gathers)
     merge_stats = []
     for lvl in range(1, num_levels):
-        s = 4 ** lvl
-        nonempty_parent = fit[lvl]["count"][0, ::s] > 0
-        r = reason_rows[lvl - 1][0, ::s]
+        r = reason_rows[lvl - 1][0]
         merge_stats.append({
-            name: ((r & bit) != 0) & nonempty_parent
+            name: ((r & bit) != 0).sum()
             for name, bit in em.MATCH_REASON_BITS
         })
-        merge_stats[-1] = {k: v.sum() for k, v in merge_stats[-1].items()}
 
     # crush at the owner level; the owner select of factors/endpoints ran
     # inside the FIT kernel (per-level f8 planes never leave VMEM), and the
@@ -1033,8 +1069,8 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     need_q0 = emit_planes or return_state
     eps_sel = list(eps_sel_m)
     (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m) = em.owner_crush_pallas(
-        packed_m, mask_m, owner_row, f8_sel, eps_sel_m,
-        params, kspec, num_levels, interpret, emit_q=need_q0,
+        packed_m, owner_row, f8_sel, eps_sel_m,
+        params, kspec, num_levels, interpret, hw=(h, w), emit_q=need_q0,
     )
 
     header = static_block_bits(ch)
@@ -1044,9 +1080,8 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     from .ops.segments import SEG_CAP
 
     grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
-    cnt_blk_m = mask_m.sum(axis=0)
     rows = to_orig(jnp.concatenate(
-        [owner[None], cnt_blk_m[None], bpp_m, shifts_m, *eps_sel], axis=0,
+        [owner[None], cnt0_m, bpp_m, shifts_m, *eps_sel], axis=0,
     ))
     owner0, cnt0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
     ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
@@ -1093,6 +1128,9 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         # 2-D strided slice -- the per-level leader-lane Morton restores and
         # their serial ::4^l lane gathers this replaces measured ~0.9 ms
         # per 4K (tools/profiling/xplane_detail.py)
+        # avg0 is f32, so the stacked rows are already the f32 field-order
+        # array neighbor_pair_matches consumes -- no per-level Decomposition
+        # re-concat (that assembly cost ~0.7 ms of update-slice glue per 4K)
         big_rows = jnp.concatenate([avg0, *ep_rows], axis=0)     # (7ch, nb)
         big2d = big_rows.reshape(7 * ch, by0, bx0)
         for lvl in range(num_levels):
@@ -1102,17 +1140,15 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                  == lvl).reshape(-1)
             )
             s = 1 << lvl
-            sl = (big2d[:, ::s, ::s].reshape(7 * ch, -1) if lvl
-                  else big_rows)
-            d_ls.append(Decomposition(
-                sl[:ch], *(sl[ch * (1 + k):ch * (2 + k)] for k in range(6)),
-            ))
+            d_ls.append(big2d[:, ::s, ::s].reshape(7 * ch, -1) if lvl
+                        else big_rows)
         # every level x direction in ONE 27-probe match evaluation
         matches_all = neighbor_pair_matches(d_ls, grids[:num_levels], ch)
         for lvl in range(num_levels):
             grid_l = grids[lvl]
             owned_l = owned_ls[lvl]
-            seg_l, len_l = build_runs(d_ls[lvl], owned_l, grid_l, ch,
+            # d_lvl is unused when matches are precomputed
+            seg_l, len_l = build_runs(None, owned_l, grid_l, ch,
                                       max_members=SEG_CAP >> (2 * lvl),
                                       matches=matches_all[lvl])
             is_run_l = owned_l & (len_l >= 2)
@@ -1141,7 +1177,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         (lv0, run_applied, run_region_id, n_runs,
          coalesce_stats) = coalesce_segments(
             packed_m, mask_m, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
-            mpos=jnp.asarray(mpos_np),
+            mpos=jnp.asarray(mpos_np), cap_frac=cap_frac,
         )
 
     # ---- stats: flat level-0 sums (region values broadcast per block) ------
@@ -1151,18 +1187,20 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     bits_histogram = (one_hot * cnt0[None, None, :]).sum(axis=2)
     total_err = lv0["dist"].sum()
     bpp_weighted = (lv0["bpp_block"].astype(jnp.float32) * cnt0).sum()
-    # alive[l] == (owner >= l) for the region's lanes (the alive chain is
-    # monotone), so leader-lane owner rows reproduce the per-level counts
+    # bit l of the kernel's stats row marks a nonempty level-l leader lane
+    # whose group merged to >= l, so each per-level region count is a plain
+    # full-row popcount of that bit (no strided leader slices)
     merged_counts = jnp.asarray([
-        ((owner[:: 4 ** l] >= l) & (fit[l]["count"][0, :: 4 ** l] > 0)).sum()
-        for l in range(num_levels)
+        ((stats_bits_m[0] >> l) & 1).sum() for l in range(num_levels)
     ])
 
-    # the decode plane stays as packed (H, W) i32 words; the host unpacks
-    # them with a free numpy byte view (a device-side bitcast would force
-    # another 33 MB layout pass). Morton restore + unblockify compose into
-    # one copy.
-    dec_plane = em.morton_unblockify(lv0["dec_packed"], h, w, num_levels)
+    # the decode plane leaves as the packed (by, 8, bx, 8) i32 word view:
+    # its row-major bytes ARE the (by*8, bx*8) image (the host reshapes +
+    # crops for free, then unpacks channels with a numpy byte view); the
+    # (H, W) form would pay a second 33 MB T(8,128) retile pass on device
+    # (reshape.215 in tools/profiling/xplane_detail.py, ~0.8 ms per 4K).
+    dec_plane = em.morton_unblockify(lv0["dec_packed"], h, w, num_levels,
+                                     as_4d=True)
     q0 = to_orig(lv0["q_packed"]) if need_q0 else None
 
     out = dict(
@@ -1222,7 +1260,8 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
                         coalesce: bool = True, fused: bool | None = None,
                         return_state: bool = False,
                         rd_header_bits: int | None = None,
-                        fetch_decoded: bool = True):
+                        fetch_decoded: bool = True,
+                        cap_frac: int = 8):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -1245,17 +1284,24 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     if fused is None:
         fused = (use_pallas and merge_policy == "match"
                  and 2 <= num_levels <= MAX_FUSED_LEVELS)
-    if (fused and isinstance(image, np.ndarray) and image.ndim == 3
-            and image.shape[2] == 4 and image.dtype == np.uint8):
-        # free host-side reinterpretation; an in-graph bitcast would make
-        # XLA re-lay out the whole u8 image first (see layout.packed_words)
-        image = layout.packed_words(image)
+    hw = None
+    if (fused and isinstance(image, np.ndarray)
+            and ((image.ndim == 3 and image.shape[2] == 4
+                  and image.dtype == np.uint8)
+                 or (image.ndim == 2 and image.dtype == np.int32))):
+        # free host-side reinterpretation to the (by, 8, bx, 8) word view
+        # (layout.host_block_view): packing is a byte view and the 4-D view
+        # skips the on-device (H, W) -> 4-D retile pass; an in-graph bitcast
+        # would make XLA re-lay out the whole u8 image first
+        image, h0, w0 = layout.host_block_view(image)
+        hw = (h0, w0)
     else:
         image = jnp.asarray(image)
     if fused:
         out = encode_image_merged_fused_device(
             image, cfg, key, num_levels, emit_planes=fetch_planes,
-            coalesce=coalesce, return_state=return_state,
+            coalesce=coalesce, return_state=return_state, hw=hw,
+            cap_frac=cap_frac,
         )
     else:
         out = encode_image_merged_device(
@@ -1265,7 +1311,9 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
         )
     from .ops.error import max_possible_error
 
-    n = image.shape[0] * image.shape[1]
+    h_img, w_img = hw if hw is not None else (
+        int(image.shape[0]), int(image.shape[1]))
+    n = h_img * w_img
     mse = float(out["total_err"]) / n
     psnr = 10.0 * np.log10(max_possible_error(cfg.channels) / max(mse, 1e-12))
     mean_bpp = out["mean_bpp"]
@@ -1276,7 +1324,17 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
         decoded_np = None
     elif "decoded_words" in out:
         decoded_np = np.ascontiguousarray(np.asarray(out["decoded_words"]))
-        decoded_np = decoded_np.view(np.uint8).reshape(*decoded_np.shape, 4)
+        if decoded_np.ndim == 4:
+            # fused path ships the uncropped (by, 8, bx, 8) word view; its
+            # row-major bytes are the image, so this reshape is free (the
+            # crop only slices the u8 view)
+            by4, _, bx4, _ = decoded_np.shape
+            decoded_np = decoded_np.reshape(by4 * 8, bx4 * 8)
+            decoded_np = decoded_np.view(np.uint8).reshape(
+                by4 * 8, bx4 * 8, 4)[:h_img, :w_img]
+        else:
+            decoded_np = decoded_np.view(np.uint8).reshape(
+                *decoded_np.shape, 4)
     else:
         decoded_np = np.asarray(out["decoded"])
     np_out = dict(
@@ -1301,7 +1359,7 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
             # fused path ships per-block rows; expand the 8x8-constant
             # planes host-side (pure np.repeat -- the device-side broadcast
             # plus transfer of ~73 MB/4K was most of the emit_planes cost)
-            h, w = image.shape[0], image.shape[1]
+            h, w = h_img, w_img
             by, bx = -(-h // BLOCK_SIZE), -(-w // BLOCK_SIZE)
 
             def expand(rows):
@@ -1342,7 +1400,7 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
                 # np.asarray then finds the bytes already (partially) staged
                 arr.copy_to_host_async()
         state = dict(
-            height=int(image.shape[0]), width=int(image.shape[1]),
+            height=h_img, width=w_img,
             num_levels=num_levels, channels=cfg.channels,
             rows=out["ser_rows"], q=out["ser_q"], n_runs=out["n_runs"],
         )

@@ -94,17 +94,21 @@ def main():
     def s_fit(img):
         # the REAL path: fit + in-kernel match decisions + owner row
         packed_m, mask_m, grid0, _ = _prep(img, cfg)
-        fit, f8_sel, eps_sel, avg_sel, owner_row, _ = em.fit_levels_pallas(
-            packed_m, mask_m, params, kspec, LEVELS, False, emit_match=True)
+        (cnt0, f8_sel, eps_sel, avg_sel, owner_row, stats_bits,
+         _) = em.fit_levels_pallas(
+            packed_m, params, kspec, LEVELS, False, hw=(h, w),
+            emit_match=True)
         return owner_row
 
     def _crush(img):
         packed_m, mask_m, grid0, _ = _prep(img, cfg)
-        fit, f8_sel, eps_sel, avg_sel, owner_row, _ = em.fit_levels_pallas(
-            packed_m, mask_m, params, kspec, LEVELS, False, emit_match=True)
+        (cnt0, f8_sel, eps_sel, avg_sel, owner_row, stats_bits,
+         _) = em.fit_levels_pallas(
+            packed_m, params, kspec, LEVELS, False, hw=(h, w),
+            emit_match=True)
         return em.owner_crush_pallas(
-            packed_m, mask_m, owner_row, f8_sel, eps_sel,
-            params, kspec, LEVELS, False)
+            packed_m, owner_row, f8_sel, eps_sel,
+            params, kspec, LEVELS, False, hw=(h, w))
 
     @jax.jit
     def s_crush(img):

@@ -50,7 +50,9 @@ def probe(image, key, stage):
         return packed_m.sum()
     params = jnp.stack([jnp.int32(0), jnp.int32(cfg.max_pixel_bit_crush_error),
                         jnp.int32(cfg.max_block_bit_crush_error)])
-    fit = em.fit_levels_pallas(packed_m, mask_m, params, kspec, LV, False)
+    h_im, w_im = image.shape[:2]
+    fit = em.fit_levels_pallas(packed_m, params, kspec, LV, False,
+                               hw=(h_im, w_im))
     if stage == "fit":
         return fit[0]["f8"].sum()
     decomps, counts = [], []
@@ -90,8 +92,8 @@ def probe(image, key, stage):
     if stage == "select":
         return f8_sel.sum() + sum(e.sum() for e in eps_sel)
     shifts_m, q_m, dec_m, dist_m = em.owner_crush_pallas(
-        packed_m, mask_m, owner_row, f8_sel, tuple(eps_sel), params, kspec,
-        LV, False)[:4]
+        packed_m, owner_row, f8_sel, tuple(eps_sel), params, kspec,
+        LV, False, hw=(h_im, w_im))[:4]
     if stage == "crush":
         return dec_m.sum()
     inv = np.empty(nb, np.int64)

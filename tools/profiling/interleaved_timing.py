@@ -44,7 +44,8 @@ def main():
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
     rgba = np.concatenate([img_np, alpha], axis=-1)
-    img = jax.device_put(layout.packed_words(rgba))
+    img4d, _, _ = layout.host_block_view(rgba)
+    img = jax.device_put(img4d)
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
     key = jax.random.PRNGKey(0)
     mpx = h * w * 1e-6

@@ -1,0 +1,192 @@
+"""Probe: natural-layout (row-major H x W) merged-fit kernel skeleton.
+
+Validates the Mosaic primitives the natural-layout rewrite needs, then
+times a representative fit-shaped kernel against the Morton pipeline
+(morton_blockify_packed + fit_levels_pallas) on a 4K image.
+
+Primitives under test (each can sink the design if Mosaic rejects it or
+lowers it serially):
+  P1  (64, T) -> (8, 8, T) leading-axis reshape + sum(axis=1)  [sublane fold]
+  P2  lane butterflies on (8, T) rows via pltpu.roll(axis=1)   [8->1 block fold]
+  P3  sublane butterflies via pltpu.roll(axis=0)               [level-1/2 rows]
+  P4  3-D row stacks (K, 8, T) elementwise arithmetic          [ladder rows]
+  P5  compact dot: (8, T) f32 @ (T, T//8) one-hot -> (8, T//8) [row compaction]
+  P6  (r, 8, 128)-blocked per-block-row outputs, grid x fastest,
+      non-divisible edge blocks (H=2160 not % 64, bx=480 not % 128)
+  P7  per-pixel output written back natural (H, W)
+
+Run on the real TPU: python tools/profiling/natural_layout_probe.py
+"""
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_W = 1024          # px per lane tile
+T_H = 64            # px rows per strip (8 block-rows; holds levels<=4 groups)
+
+
+def _lane_butterfly(row, d, op, lanes, lane_iota):
+    up = pltpu.roll(row, shift=d, axis=1)
+    down = pltpu.roll(row, shift=lanes - d, axis=1)
+    return op(row, jnp.where((lane_iota & d) != 0, up, down))
+
+
+def _sub_butterfly(row, d, op, subs, sub_iota):
+    up = pltpu.roll(row, shift=d, axis=0)
+    down = pltpu.roll(row, shift=subs - d, axis=0)
+    return op(row, jnp.where((sub_iota & d) != 0, up, down))
+
+
+def _nat_block_sum(x):
+    """(T_H, T_W) f32 -> (8, T_W) per-block sums, 8-replicated along lanes."""
+    th, tw = x.shape
+    s = jnp.sum(x.reshape(th // 8, 8, tw), axis=1)          # P1
+    lane = lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+    for d in (1, 2, 4):                                     # P2
+        s = _lane_butterfly(s, d, jnp.add, tw, lane)
+    return s
+
+
+def _group_sum(rows, lvl, tw):
+    """(8, T_W) block rows -> level-lvl group sums (replicated)."""
+    lane = lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    out = rows
+    for b in range(lvl):                                    # P2 + P3
+        out = _lane_butterfly(out, 8 << b, jnp.add, tw, lane)
+        out = _sub_butterfly(out, 1 << b, jnp.add, 8, sub)
+    return out
+
+
+def _make_fit_like_kernel(levels, h, w, n_minmax=6):
+    def kernel(packed_ref, dec_ref, *row_refs):
+        packed = packed_ref[...]
+        th, tw = packed.shape
+        iy = pl.program_id(0) * T_H
+        ix = pl.program_id(1) * T_W
+        row = iy + lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        col = ix + lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        mask = ((row < h) & (col < w)).astype(jnp.float32)
+
+        px = [((packed >> (8 * c)) & 0xFF).astype(jnp.float32) * mask
+              for c in range(3)]
+        cnt = _nat_block_sum(mask)
+        rows_out = [cnt]
+        acc = jnp.zeros_like(packed)
+        for lvl in range(levels):
+            sums = [_group_sum(_nat_block_sum(p), lvl, tw) for p in px]
+            cl = _group_sum(cnt, lvl, tw)
+            inv = 1.0 / jnp.maximum(cl, 1.0)
+            avg = [s * inv for s in sums]
+            # representative elementwise + min/max reduction load (P4-ish)
+            corrected = [p - a[:, None, :].reshape(8, 1, tw).repeat(8, 1)
+                         .reshape(th, tw) * mask for p, a in zip(px, avg)]
+            for k in range(n_minmax // 3):
+                f = sum(c * (0.5 + 0.25 * k) for c in corrected)
+                mn = _group_sum(_nat_block_sum(jnp.minimum(f, 0.0)), lvl, tw)
+                mx = _group_sum(_nat_block_sum(jnp.maximum(f, 0.0)), lvl, tw)
+                rows_out.append(mn)
+                rows_out.append(mx)
+            rows_out.extend(avg)
+            acc = acc + f.astype(jnp.int32)
+        dec_ref[...] = acc                                   # P7
+
+        # P5: compact every output row via one stacked one-hot dot
+        nrows = len(row_refs)
+        stack = jnp.concatenate(rows_out[:nrows], axis=0)    # (R*8? no: R rows of (8,tw))
+        # rows are (8, tw) each; stack -> (R*8, tw)
+        sel = (lax.broadcasted_iota(jnp.int32, (tw, tw // 8), 0)
+               == 8 * lax.broadcasted_iota(jnp.int32, (tw, tw // 8), 1)
+               ).astype(jnp.float32)
+        compact = jax.lax.dot_general(
+            stack, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (R*8, tw//8)
+        for i, ref in enumerate(row_refs):
+            ref[...] = compact[8 * i:8 * (i + 1)].reshape(1, 8, tw // 8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "h", "w", "n_rows"))
+def fit_like_natural(packed2d, levels, h, w, n_rows=8):
+    gy = -(-h // T_H)
+    gx = -(-w // T_W)
+    by, bx = -(-h // 8), -(-w // 8)
+    bxp = -(-bx // 128) * 128
+    row_shape = jax.ShapeDtypeStruct((1, by if by % 8 == 0 else by + 8 - by % 8,
+                                      bxp), jnp.float32)
+    byp = row_shape.shape[1]
+    out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.int32)] + [row_shape] * n_rows
+    out_specs = [pl.BlockSpec((T_H, T_W), lambda i, j: (i, j))] + [
+        pl.BlockSpec((1, 8, 128), lambda i, j: (0, i, j))] * n_rows  # P6
+    outs = pl.pallas_call(
+        _make_fit_like_kernel(levels, h, w),
+        grid=(gy, gx),
+        in_specs=[pl.BlockSpec((T_H, T_W), lambda i, j: (i, j))],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=jax.default_backend() == "cpu",
+    )(packed2d)
+    return outs
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from limg_tpu.utils.timing import time_device_fns
+    from limg_tpu.pallas_kernels import encode_merged as em
+    from limg_tpu.pallas_kernels.encode_fixed import KernelSpec
+    from limg_tpu.config import EncodeConfig
+
+    h, w = 2160, 3840
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (h, w, 4), np.uint8)
+    base[..., 3] = 255
+    packed = jnp.asarray(
+        np.ascontiguousarray(base).view(np.int32).reshape(h, w))
+
+    print("compiling natural skeleton ...", flush=True)
+    outs = fit_like_natural(packed, 3, h, w)
+    print("natural ok:", outs[0].shape, outs[1].shape, flush=True)
+
+    cfg = EncodeConfig(error_factor=100, has_alpha=False)
+    kspec = KernelSpec.from_config(cfg)
+    params = jnp.zeros((3,), jnp.int32)
+
+    def morton_fit(p2d):
+        pm = em.morton_blockify_packed(p2d, h, w, 3)
+        outs = em.fit_levels_pallas(pm, params, kspec, 3, False, hw=(h, w),
+                                    emit_match=True)
+        return outs[1], outs[4]     # f8_sel plane + owner row
+
+    def nat_fit(p2d):
+        o = fit_like_natural(p2d, 3, h, w)
+        return o[0], o[1]
+
+    print("compiling morton path ...", flush=True)
+    samples, rtt = time_device_fns(
+        {"morton_fit+relayout": lambda: morton_fit(packed),
+         "natural_fit_skeleton": lambda: nat_fit(packed)},
+        rounds=8, inner=4)
+    print(f"rtt {rtt * 1e3:.1f} ms")
+    for name, vals in samples.items():
+        ms = np.median(vals) * 1e3
+        print(f"{name}: median {ms:.3f} ms  (rounds: "
+              + " ".join(f"{v * 1e3:.2f}" for v in vals) + ")")
+    diffs = [b - a for a, b in zip(samples["natural_fit_skeleton"],
+                                   samples["morton_fit+relayout"])]
+    print(f"morton-minus-natural per round (ms): "
+          + " ".join(f"{d * 1e3:.2f}" for d in diffs))
+
+
+if __name__ == "__main__":
+    main()

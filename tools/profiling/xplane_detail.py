@@ -36,7 +36,8 @@ def main():
     img_np = make_4k()
     h, w = img_np.shape[:2]
     alpha = np.full((h, w, 1), 255, np.uint8)
-    img = jax.device_put(layout.packed_words(np.concatenate([img_np, alpha], -1)))
+    img4d, _, _ = layout.host_block_view(np.concatenate([img_np, alpha], -1))
+    img = jax.device_put(img4d)
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
     key = jax.random.PRNGKey(0)
 
@@ -79,8 +80,9 @@ def main():
                                 shapes.setdefault(meta.name, str(
                                     st.str_value or st.ref_value))[:90]
     print(json.dumps({"total_ms_over_3_iters": round(total / 1e9, 2)}))
+    full = os.environ.get("XPLANE_FULL_EXPR")
     for name, ps in agg.most_common(45):
-        extra = shapes.get(name, "")[:110]
+        extra = shapes.get(name, "")[: (2000 if full else 110)]
         print(f"{ps / 1e9 / 3:8.3f} ms/iter x{events_n[name] // 3:<4} {name[:60]:62s} {extra}")
 
 

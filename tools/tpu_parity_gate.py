@@ -272,6 +272,52 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
         results[name] = {"match": ok}
         if not ok:
             failures.append(name)
+
+    # the merged fit/owner-crush kernels (in-kernel Morton validity mask,
+    # in-kernel match/owner select, stats rows): compiled Mosaic vs the
+    # Pallas interpreter on identical inputs, including an edge-padded
+    # (h, w) so the in-kernel mask arithmetic is exercised on both sides
+    from limg_tpu.pallas_kernels.encode_merged import (
+        fit_levels_pallas, morton_blockify_packed, owner_crush_pallas,
+    )
+    from limg_tpu.pallas_kernels.encode_fixed import KernelSpec as KSpec
+
+    rng5 = np.random.default_rng(41)
+    for ch, (h, w) in [(3, (64, 128)), (3, (52, 92)), (4, (52, 92))]:
+        levels = 3
+        img = rng5.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        img[:24, :, :3] = [40, 90, 200]            # flat band forces merges
+        if ch == 3:
+            img[..., 3] = 255
+        packed2d = jnp.asarray(img.view(np.int32)[..., 0])
+        packed_m = morton_blockify_packed(packed2d, h, w, levels)
+        cfg = EncodeConfig(error_factor=100, has_alpha=(ch == 4),
+                           crush_mode="ladder", dithering=False)
+        ksp = KSpec.from_config(cfg)
+        params = jnp.asarray([0, cfg.max_pixel_bit_crush_error,
+                              cfg.max_block_bit_crush_error], jnp.int32)
+        sides = {}
+        for interp in (False, True):
+            (cnt0, f8_sel, eps_sel, avg_sel, owner, stats_bits,
+             reasons) = fit_levels_pallas(
+                packed_m, params, ksp, levels, interp, hw=(h, w),
+                emit_match=True)
+            crush = owner_crush_pallas(
+                packed_m, owner, f8_sel, eps_sel, params, ksp, levels,
+                interp, hw=(h, w))
+            sides[interp] = [cnt0, f8_sel, *eps_sel, avg_sel, owner,
+                             stats_bits, *reasons,
+                             *(c for c in crush if c is not None)]
+        checks = {
+            f"out{i}": bool(np.array_equal(np.asarray(a), np.asarray(b)))
+            for i, (a, b) in enumerate(zip(sides[False], sides[True]))
+        }
+        name = f"merged_fused_ch{ch}_{h}x{w}"
+        results[name] = {"exact": all(checks.values())}
+        if not all(checks.values()):
+            bad = [k for k, v in checks.items() if not v]
+            results[name]["bad_outputs"] = bad
+            failures.append(name)
     return results, failures
 
 
