@@ -140,8 +140,96 @@ def fit_like_natural(packed2d, levels, h, w, n_rows=8):
     return outs
 
 
+def _oracle_rows(packed2d, levels, h, w, n_rows=8):
+    """Reshape-based twin of _make_fit_like_kernel's arithmetic (no Pallas).
+
+    Computes per-block / per-group values over the same padded extent the
+    kernel's grid covers and returns (dec (H', W') i32, rows list of
+    (byp_out, bxp) f32) in the kernel's output geometry, so a mismatch
+    localizes a lane/sublane indexing bug in _nat_block_sum/_group_sum or
+    the P5/P6 output plumbing.
+    """
+    gy, gx = -(-h // T_H), -(-w // T_W)
+    hp, wp = gy * T_H, gx * T_W
+    by, bx = hp // 8, wp // 8
+    x = jnp.zeros((hp, wp), jnp.int32).at[:packed2d.shape[0],
+                                          :packed2d.shape[1]].set(packed2d)
+    row = jnp.arange(hp)[:, None]
+    col = jnp.arange(wp)[None, :]
+    mask = ((row < h) & (col < w)).astype(jnp.float32)
+    px = [((x >> (8 * c)) & 0xFF).astype(jnp.float32) * mask for c in range(3)]
+
+    def block_sum(a):                      # (hp, wp) -> (by, bx)
+        return a.reshape(by, 8, bx, 8).sum(axis=(1, 3))
+
+    def group_sum(b, lvl):                 # (by, bx) -> group sums, replicated
+        if lvl == 0:
+            return b
+        g = 1 << lvl
+        # tiles only hold T_H//8 = 8 block rows: groups never cross a tile
+        # vertically (g <= 8) and never cross the 128-block lane tile
+        # horizontally (the kernel reduces within (8, T_W) tiles)
+        s = b.reshape(by // g, g, bx // g, g).sum(axis=(1, 3))
+        return jnp.repeat(jnp.repeat(s, g, axis=0), g, axis=1)
+
+    def up(b):                             # (by, bx) -> (hp, wp) broadcast
+        return jnp.repeat(jnp.repeat(b, 8, axis=0), 8, axis=1)
+
+    cnt = block_sum(mask)
+    rows_out = [cnt]
+    acc = jnp.zeros((hp, wp), jnp.int32)
+    for lvl in range(levels):
+        sums = [group_sum(block_sum(p), lvl) for p in px]
+        cl = group_sum(cnt, lvl)
+        inv = 1.0 / jnp.maximum(cl, 1.0)
+        avg = [s * inv for s in sums]
+        corrected = [p - up(a) * mask for p, a in zip(px, avg)]
+        for k in range(2):
+            f = sum(c * (0.5 + 0.25 * k) for c in corrected)
+            rows_out.append(group_sum(block_sum(jnp.minimum(f, 0.0)), lvl))
+            rows_out.append(group_sum(block_sum(jnp.maximum(f, 0.0)), lvl))
+        rows_out.extend(avg)
+        acc = acc + f.astype(jnp.int32)
+    return acc, rows_out[:n_rows]
+
+
+def verify_small():
+    """Interpret-mode plumbing check: kernel rows == reshape oracle exactly.
+
+    Uses h % T_H != 0, w % T_W != 0 and bx % 128 != 0 so the edge-tile mask
+    and the P6 blocked row outputs are exercised.
+    """
+    h, w = 72, 1040
+    rng = np.random.default_rng(7)
+    packed = jnp.asarray(
+        rng.integers(0, 2**24, (h, w), np.int64).astype(np.int32))
+    outs = fit_like_natural(packed, 3, h, w)
+    dec, rows = outs[0], outs[1:]
+    dec_o, rows_o = _oracle_rows(packed, 3, h, w, n_rows=len(rows))
+    by, bx = -(-h // 8), -(-w // 8)
+    np.testing.assert_array_equal(np.asarray(dec)[:h, :w],
+                                  np.asarray(dec_o)[:h, :w])
+    for i, (r, ro) in enumerate(zip(rows, rows_o)):
+        got = np.asarray(r)[0, :by, :bx]
+        want = np.asarray(ro)[:by, :bx]
+        # float sums: butterfly order differs from the reshape reduce, so
+        # compare with a tight tolerance; cnt (i == 0) must be exact
+        if i == 0:
+            np.testing.assert_array_equal(got, want)
+        else:
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3,
+                                       err_msg=f"row {i}")
+        pad = np.asarray(r)[0, by:, :]
+        assert np.all(pad == 0.0) or i > 0, "padding blocks must be empty"
+    print(f"verify_small ok: dec + {len(rows)} rows match the oracle "
+          f"(h={h}, w={w}, by={by}, bx={bx})")
+
+
 def main():
     sys.path.insert(0, "/root/repo")
+    # correctness first: on device this exercises the compiled Mosaic
+    # lowering of P1-P6 (interpret mode already passes on CPU)
+    verify_small()
     from limg_tpu.utils.timing import time_device_fns
     from limg_tpu.pallas_kernels import encode_merged as em
     from limg_tpu.pallas_kernels.encode_fixed import KernelSpec
