@@ -52,7 +52,16 @@ def main():
     img4d, _, _ = layout.host_block_view(
         np.concatenate([img_np, alpha], axis=-1))
     img = jax.device_put(img4d)
+    # the RGBA lane (north star: "4K RGBA photos", BASELINE.md) carries a
+    # structured alpha plane so the 4th-channel fit/crush does real work
+    alpha_g = (255 - (np.arange(h, dtype=np.int32)[:, None] * 96 // h)
+               - (np.arange(w, dtype=np.int32)[None, :] * 32 // w)
+               ).astype(np.uint8)[..., None]
+    img4d_a, _, _ = layout.host_block_view(
+        np.concatenate([img_np, alpha_g], axis=-1))
+    img_a = jax.device_put(img4d_a)
     cfg = EncodeConfig(error_factor=100, has_alpha=False, crush_mode="ladder")
+    cfg_a = EncodeConfig(error_factor=100, has_alpha=True, crush_mode="ladder")
     seed = jnp.int32(0)
 
     # the timed step starts from the device-resident image tensor and
@@ -64,6 +73,7 @@ def main():
         return encode_blocks_pallas(packed, mask, cfg, seed)[:3]
 
     fixed_fn = lambda: step(img, cfg, seed)
+    rgba_fn = lambda: step(img_a, cfg_a, seed)
 
     # secondary metric: the merged (blocked-path analog) encoder via the
     # fused Morton pipeline, reference baseline 0.662 Mpx/s single-core
@@ -81,9 +91,11 @@ def main():
             img, cfg, key, 3, emit_planes=False, coalesce=True
         )["decoded_words"]
         samples, rtt = time_device_fns(
-            {"fixed": fixed_fn, "merged": fm}, rounds=10, inner=5
+            {"fixed": fixed_fn, "rgba": rgba_fn, "merged": fm},
+            rounds=10, inner=5,
         )
         sf = np.asarray(samples["fixed"])
+        sa = np.asarray(samples["rgba"])
         sm = np.asarray(samples["merged"])
         per_call = float(np.median(sf))
         det = {
@@ -93,7 +105,12 @@ def main():
             "std_s": float(sf.std(ddof=1)),
         }
         t_m = float(np.median(sm))
+        t_a = float(np.median(sa))
         merged_det = {
+            # 4-channel fixed-grid lane (has_alpha=True: 4ch weighted error,
+            # third-residual sweep in fit); same 4K with a gradient alpha
+            "rgba_ms_per_image": round(t_a * 1e3, 3),
+            "rgba_mpxs": round(h * w * 1e-6 / t_a, 1),
             "merged_ms_per_image": round(t_m * 1e3, 3),
             "merged_mpxs": round(h * w * 1e-6 / t_m, 1),
             "merged_vs_blocked_16core_est": round(

@@ -78,7 +78,73 @@ _GEOM_FOR_P = {64: (64, 1, 256), 256: (256, 1, 128), 1024: (256, 4, 32),
 _SPLIT_THRESHOLD_P = 4096   # split fit/crush into two kernels at this size
 
 
-class _Reducer:
+class _RowOps:
+    """Layout-generic row helpers shared by every kernel reducer.
+
+    A per-region "row" is an array of sublane height ``R`` (1 for the
+    block-lane layouts where a lane is a whole block; 8 for the natural
+    row-major layout of encode_natural.py, where a block's value is
+    replicated over its 8 lanes and rows carry 8 block-rows in sublanes).
+    Stacks of n rows concatenate along sublanes as (n*R, T). Every helper
+    below is written so that the R == 1 implementations are semantically
+    identical to the plain (1, T)-row code they replaced -- the fixed and
+    Morton kernels keep their compiled bit-parity.
+    """
+
+    R = 1
+
+    # pixel array -> per-block (NOT per-region) row; the cross-block
+    # region combine is _combine, applied separately so candidate rows
+    # can be batched through it (_finish)
+    def fold_sum(self, x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def fold_max(self, x):
+        return jnp.max(x, axis=0, keepdims=True)
+
+    def fold_min(self, x):
+        return jnp.min(x, axis=0, keepdims=True)
+
+    def up(self, row):
+        """Row -> pixel-shaped broadcast (identity where numpy
+        broadcasting already handles (1, T) against (P, T))."""
+        return row
+
+    def full_row(self, v, dtype=jnp.int32):
+        return jnp.full((self.R, self.lanes), v, dtype)
+
+    def row(self, stack, k: int):
+        """k-th row of a sublane-stacked row array."""
+        return stack[k * self.R:(k + 1) * self.R]
+
+    def rows_slice(self, stack, start: int, n: int):
+        return stack[start * self.R:(start + n) * self.R]
+
+    def nrows(self, stack):
+        return stack.shape[0] // self.R
+
+    def tile(self, row, n: int):
+        """Tile one row to an n-row stack (explicit form of the (1, T)
+        broadcast against (n, T))."""
+        if n == 1:
+            return row
+        return jnp.broadcast_to(
+            row[None], (n, self.R, row.shape[-1])
+        ).reshape(n * self.R, row.shape[-1])
+
+    def stack_reduce(self, stack, fn):
+        """Reduce an n-row stack over the ROW axis -> one row."""
+        n = self.nrows(stack)
+        return fn(stack.reshape(n, self.R, stack.shape[-1]), axis=0)
+
+    def row_iota(self, n: int):
+        """(n*R, lanes) i32 stack whose k-th row is the constant k."""
+        return lax.broadcasted_iota(
+            jnp.int32, (n * self.R, self.lanes), 0
+        ) // self.R
+
+
+class _Reducer(_RowOps):
     """Per-region reductions when a region spans `chunks` lane groups.
 
     Arrays are (sub_p, chunks * T); region r's chunk c occupies lane
@@ -161,12 +227,12 @@ def _signed_unit_mean(vecs, mask, inv_count, red: _Reducer):
     return [red.sum(v * inv_len) * inv_count for v in vecs]
 
 
-def _project_row(vecs, direction):
-    """Per-pixel projection factor. vecs: ch x (P,T); direction: ch x (1,T)."""
-    dot = sum(v * d for v, d in zip(vecs, direction))
+def _project_row(vecs, direction, red: "_RowOps"):
+    """Per-pixel projection factor. vecs: ch x (P,T); direction: ch rows."""
+    dot = sum(v * red.up(d) for v, d in zip(vecs, direction))
     d2 = sum(d * d for d in direction)
     inv = jnp.where(d2 > 0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
-    return dot * inv
+    return dot * red.up(inv)
 
 
 def _fast_round_i32(x):
@@ -198,11 +264,11 @@ def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
     inv_count = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
 
     avg = [red.sum(p * mask) * inv_count for p in px]
-    corrected = [(p - a) * mask for p, a in zip(px, avg)]
+    corrected = [(p - red.up(a)) * mask for p, a in zip(px, avg)]
     dir_a = _signed_unit_mean(corrected, mask, inv_count, red)
 
-    fac_a = _project_row(corrected, dir_a) * mask
-    est = [a + fac_a * d for a, d in zip(avg, dir_a)]
+    fac_a = _project_row(corrected, dir_a, red) * mask
+    est = [red.up(a) + fac_a * red.up(d) for a, d in zip(avg, dir_a)]
     resid = [(p - e) * mask for p, e in zip(px, est)]
     dir_b = _signed_unit_mean(resid, mask, inv_count, red)
 
@@ -212,16 +278,16 @@ def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
             dir_a[2] * dir_b[0] - dir_a[0] * dir_b[2],
             dir_a[0] * dir_b[1] - dir_a[1] * dir_b[0],
         ]
-        fac_b = _project_row(resid, dir_b) * mask
-        est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
+        fac_b = _project_row(resid, dir_b, red) * mask
+        est_b = [e + fac_b * red.up(d) for e, d in zip(est, dir_b)]
         resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
-        fac_c = _project_row(resid_b, dir_c) * mask
+        fac_c = _project_row(resid_b, dir_c, red) * mask
     else:
-        fac_b = _project_row(resid, dir_b) * mask
-        est_b = [e + fac_b * d for e, d in zip(est, dir_b)]
+        fac_b = _project_row(resid, dir_b, red) * mask
+        est_b = [e + fac_b * red.up(d) for e, d in zip(est, dir_b)]
         resid_b = [(p - e) * mask for p, e in zip(px, est_b)]
         dir_c = _signed_unit_mean(resid_b, mask, inv_count, red)
-        fac_c = _project_row(resid_b, dir_c) * mask
+        fac_c = _project_row(resid_b, dir_c, red) * mask
 
     big = jnp.float32(3.4e38)
 
@@ -253,12 +319,14 @@ def _fit_and_factors(packed, mask_i, channels, red: _Reducer):
     off_b_f = [m.astype(jnp.float32) for m in ib_off]
     off_c_f = [m.astype(jnp.float32) for m in ic_off]
 
-    va = [p - m for p, m in zip(px, min_a_f)]
-    fa = _project_row(va, na)
-    ea = [m + fa * n for m, n in zip(min_a_f, na)]
-    fb = _project_row([p - e - o for p, e, o in zip(px, ea, off_b_f)], nb)
-    eb = [e + fb * n for e, n in zip(ea, nb)]
-    fc = _project_row([p - e - o for p, e, o in zip(px, eb, off_c_f)], nc)
+    va = [p - red.up(m) for p, m in zip(px, min_a_f)]
+    fa = _project_row(va, na, red)
+    ea = [red.up(m) + fa * red.up(n) for m, n in zip(min_a_f, na)]
+    fb = _project_row(
+        [p - e - red.up(o) for p, e, o in zip(px, ea, off_b_f)], nb, red)
+    eb = [e + fb * red.up(n) for e, n in zip(ea, nb)]
+    fc = _project_row(
+        [p - e - red.up(o) for p, e, o in zip(px, eb, off_c_f)], nc, red)
 
     def q8(f):
         # ties-to-even like the jnp/golden rint (the codec spec follows the
@@ -325,8 +393,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         slower on the VPU. The arithmetic >> 8 of a possibly negative
         product is floor(x / 256), which jnp.floor reproduces exactly.
         """
-        q = f8[k] >> jnp.minimum(s_row, 8)
-        mult = _table_row(s_row, _MULT).astype(jnp.float32)
+        q = f8[k] >> red.up(jnp.minimum(s_row, 8))
+        mult = red.up(_table_row(s_row, _MULT).astype(jnp.float32))
         f_dec = q.astype(jnp.float32) * mult
         dropped = s_row > 7
         out = []
@@ -336,8 +404,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
                 m_kc = m_int[k][c]
             else:
                 m_kc = jnp.where(dropped, 0, m_int[k][c])
-            contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
-            out.append(m_kc + contrib.astype(jnp.int32))
+            contrib = jnp.floor((f_dec * red.up(n_kc) + 128.0) * (1.0 / 256.0))
+            out.append(red.up(m_kc) + contrib.astype(jnp.int32))
         return out
 
     def err_from_est(est):
@@ -359,8 +427,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
             err = err + d2[3] * 3.0
         err_i = err.astype(jnp.int32) * mask_i
         return (
-            jnp.max(err_i, axis=0, keepdims=True),
-            jnp.sum(err_i >> es, axis=0, keepdims=True),
+            red.fold_max(err_i),
+            red.fold_sum(err_i >> es),
         )
 
     def _finish(pix_parts, blk_parts):
@@ -376,12 +444,12 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         return pm, be
 
     def decode_eval(s, q):
-        """s: 3 x (1,T) shifts; q: 3 x (P,T) crushed factors -> decoded
+        """s: 3 shift rows; q: 3 x (P,T) crushed factors -> decoded
         channels ch x (P,T) int32 (for the final decode; q may be dithered
         so it can't reuse axis_contrib's internal requantization)."""
         dec = [jnp.zeros_like(packed) for _ in range(channels)]
         for k in range(3):
-            mult = _table_row(s[k], _MULT).astype(jnp.float32)
+            mult = red.up(_table_row(s[k], _MULT).astype(jnp.float32))
             f_dec = q[k].astype(jnp.float32) * mult
             dropped = s[k] > 7
             for c in range(channels):
@@ -390,8 +458,9 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
                     m_kc = m_int[k][c]
                 else:
                     m_kc = jnp.where(dropped, 0, m_int[k][c])
-                contrib = jnp.floor((f_dec * n_kc + 128.0) * (1.0 / 256.0))
-                dec[c] = dec[c] + m_kc + contrib.astype(jnp.int32)
+                contrib = jnp.floor(
+                    (f_dec * red.up(n_kc) + 128.0) * (1.0 / 256.0))
+                dec[c] = dec[c] + red.up(m_kc) + contrib.astype(jnp.int32)
         return [jnp.clip(d, 0, 255) for d in dec]
 
     def crush_eval(s):
@@ -403,7 +472,7 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         return err_from_est(est)
 
     t = packed.shape[-1]
-    zero_row = jnp.zeros((1, t), jnp.int32)
+    zero_row = red.full_row(0)
 
     # Reduced-factor modes: admissibility is relative to the zero-shift
     # error floor left by the statically dropped axes (see ops.crush
@@ -416,14 +485,19 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         floor_pix = floor_blk = None
 
     def adm(pm, be):
+        # pm/be may be n-row candidate stacks; tile the per-region rows to
+        # match (identity values for R == 1, where broadcasting used to
+        # handle it)
+        n = red.nrows(pm)
+        cnt_n = red.tile(count, n)
         if floor_pix is None:
-            return (pm <= max_pix) & blk_ok(be, count)
-        pix_ok = pm <= max_pix + floor_pix
+            return (pm <= max_pix) & blk_ok(be, cnt_n)
+        pix_ok = pm <= max_pix + red.tile(floor_pix, n)
         scale = float(0x10 << (es if ses is None else ses))
         lhs = be.astype(jnp.float32) * scale
         rhs = (
-            count.astype(jnp.float32) * max_blk.astype(jnp.float32)
-            + floor_blk.astype(jnp.float32) * scale
+            cnt_n.astype(jnp.float32) * max_blk.astype(jnp.float32)
+            + red.tile(floor_blk, n).astype(jnp.float32) * scale
         )
         return pix_ok & (lhs < rhs)
 
@@ -434,9 +508,9 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         # shift, tie-break min block error, then lexicographically largest).
         def exh_body(i, carry):
             bs0, bs1, bs2, b_tot, b_err = carry
-            sa = jnp.full((1, t), i // 81, jnp.int32)
-            sb = jnp.full((1, t), (i // 9) % 9, jnp.int32)
-            sc = jnp.full((1, t), i % 9, jnp.int32)
+            sa = red.full_row(i // 81)
+            sb = red.full_row((i // 9) % 9)
+            sc = red.full_row(i % 9)
             pm_b, be_b = crush_eval([sa, sb, sc])
             pm, be = _finish([pm_b], [be_b])
             ok = adm(pm, be)
@@ -451,8 +525,8 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
 
         init = (
             zero_row, zero_row, zero_row,
-            jnp.full((1, t), -1, jnp.int32),
-            jnp.full((1, t), 2**31 - 1, jnp.int32),
+            red.full_row(-1),
+            red.full_row(2**31 - 1),
         )
         s0, s1, s2, _, _ = lax.fori_loop(0, 729, exh_body, init)
         shifts = [s0, s1, s2]
@@ -462,15 +536,15 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         # else:         pick (2,4,5) if ok else (0,0,0)
         pix_parts, blk_parts = [], []
         for tpl in _GUESS_TRIPLES:
-            s = [jnp.full((1, t), v, jnp.int32) for v in tpl]
+            s = [red.full_row(v) for v in tpl]
             pm_b, be_b = crush_eval(s)
             pix_parts.append(pm_b)
             blk_parts.append(be_b)
         pm4, be4 = _finish(pix_parts, blk_parts)
-        oks = [adm(pm4[i:i + 1], be4[i:i + 1]) for i in range(4)]
+        oks = [adm(red.row(pm4, i), red.row(be4, i)) for i in range(4)]
 
         def row(v):
-            return jnp.full((1, t), v, jnp.int32)
+            return red.full_row(v)
 
         shifts = []
         for k in range(3):
@@ -490,56 +564,63 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         for axis in range(3):
             for sv in range(9):
                 s = [zero_row, zero_row, zero_row]
-                s[axis] = jnp.full((1, t), sv, jnp.int32)
+                s[axis] = red.full_row(sv)
                 pm_b, be_b = crush_eval(s)
                 pix_parts.append(pm_b)
                 blk_parts.append(be_b)
-        pix27, blk27 = _finish(pix_parts, blk_parts)        # (27, T) each
-        pix_ax = [pix27[9 * a:9 * (a + 1)] for a in range(3)]
-        blk_ax = [blk27[9 * a:9 * (a + 1)] for a in range(3)]
-        pix0 = pix_ax[0][0:1]
-        err0 = blk_ax[0][0:1]
-        d_blk = [b - b[0:1] for b in blk_ax]
-        d_pix = [p - p[0:1] for p in pix_ax]
+        pix27, blk27 = _finish(pix_parts, blk_parts)        # 27-row stacks
+        pix_ax = [red.rows_slice(pix27, 9 * a, 9) for a in range(3)]
+        blk_ax = [red.rows_slice(blk27, 9 * a, 9) for a in range(3)]
+        pix0 = red.row(pix_ax[0], 0)
+        err0 = red.row(blk_ax[0], 0)
+        d_blk = [b - red.tile(red.row(b, 0), 9) for b in blk_ax]
+        d_pix = [p - red.tile(red.row(p, 0), 9) for p in pix_ax]
 
         # ---- per-axis base + boxed 4^3 candidate lattice -----------------
         # base_k = largest axis-alone-admissible shift; by monotonicity no
         # admissible joint triple exceeds it, so candidates are
         # s_k = max(base_k - o_k, 0), o_k in {0..3}.
-        iota9 = lax.broadcasted_iota(jnp.int32, (9, t), 0)
+        iota9 = red.row_iota(9)
         base = []
         for axis in range(3):
             adm_ax = adm(pix_ax[axis], blk_ax[axis])
             base.append(
-                jnp.max(jnp.where(adm_ax, iota9, 0), axis=0, keepdims=True)
-            )                                               # (1, T)
+                red.stack_reduce(jnp.where(adm_ax, iota9, 0), jnp.max)
+            )                                               # one row
 
         def gather9(rows, s_row):
-            """rows: (9, T); s_row: (1, T) -> (1, T) rows[s_row]."""
+            """rows: 9-row stack; s_row: one row -> rows[s_row]."""
             out = jnp.zeros_like(s_row)
             for sv in range(9):
-                out = jnp.where(s_row == sv, rows[sv:sv + 1], out)
+                out = jnp.where(s_row == sv, red.row(rows, sv), out)
             return out
 
         s_cand = [[jnp.maximum(base[ax] - o, 0) for o in range(4)]
-                  for ax in range(3)]                       # [3][4] x (1,T)
+                  for ax in range(3)]                       # [3][4] rows
         db_at = [jnp.concatenate([gather9(d_blk[ax], s) for s in s_cand[ax]], axis=0)
-                 for ax in range(3)]                        # (4, T) each
+                 for ax in range(3)]                        # 4-row stacks
         dp_at = [jnp.concatenate([gather9(d_pix[ax], s) for s in s_cand[ax]], axis=0)
                  for ax in range(3)]
         sv_at = [jnp.concatenate(s_cand[ax], axis=0) for ax in range(3)]
 
-        def lattice(vals):
-            bc = (vals[1][:, None, :] + vals[2][None, :, :]).reshape(16, t)
-            return (vals[0][:, None, :] + bc[None, :, :]).reshape(64, t)
+        def cross(u, v):
+            """u m-row, v n-row stack -> (m*n)-row stack, u-major: the
+            R-generalized form of the old (m,1,T)+(1,n,T) reshape (loop
+            concat keeps every array 2-D for Mosaic; values identical)."""
+            m, n = red.nrows(u), red.nrows(v)
+            return jnp.concatenate(
+                [red.tile(red.row(u, i), n) + v for i in range(m)], axis=0)
 
-        approx_blk = err0 + lattice(db_at)
-        approx_pix = pix0 + lattice(dp_at)
+        def lattice(vals):
+            return cross(vals[0], cross(vals[1], vals[2]))
+
+        approx_blk = red.tile(err0, 64) + lattice(db_at)
+        approx_pix = red.tile(pix0, 64) + lattice(dp_at)
         totals = lattice(sv_at)
         adm_lat = adm(approx_pix, approx_blk).astype(jnp.int32)
         err_pack = (2**25 - 1) - jnp.minimum(approx_blk >> 6, 2**25 - 1)
-        key = (adm_lat << 30) + (totals << 25) + err_pack   # (64, T)
-        iota64 = lax.broadcasted_iota(jnp.int32, (64, t), 0)
+        key = (adm_lat << 30) + (totals << 25) + err_pack   # 64-row stack
+        iota64 = red.row_iota(64)
 
         # peel the top-K candidate indices first (key updates don't depend
         # on the exact evaluations), then evaluate all K and combine their
@@ -547,29 +628,30 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         cand = []
         key_work = key
         for _ in range(ladder_k):
-            m = jnp.max(key_work, axis=0, keepdims=True)
-            idx = jnp.min(
-                jnp.where(key_work == m, iota64, 64), axis=0, keepdims=True
-            )                                               # (1, T)
+            m = red.stack_reduce(key_work, jnp.max)
+            idx = red.stack_reduce(
+                jnp.where(key_work == red.tile(m, 64), iota64, 64), jnp.min
+            )                                               # one row
             cand.append((
                 jnp.maximum(base[0] - idx // 16, 0),
                 jnp.maximum(base[1] - (idx // 4) % 4, 0),
                 jnp.maximum(base[2] - idx % 4, 0),
             ))
-            key_work = jnp.where(iota64 == idx, -(2**31) + 1, key_work)
+            key_work = jnp.where(
+                iota64 == red.tile(idx, 64), -(2**31) + 1, key_work)
 
         pix_parts, blk_parts = [], []
         for sa, sb, sc in cand:
             pm_b, be_b = crush_eval([sa, sb, sc])
             pix_parts.append(pm_b)
             blk_parts.append(be_b)
-        pm_k, be_k = _finish(pix_parts, blk_parts)          # (K, T) each
+        pm_k, be_k = _finish(pix_parts, blk_parts)          # K-row stacks
 
         bs0 = bs1 = bs2 = zero_row
-        b_tot = jnp.full((1, t), -1, jnp.int32)
-        b_err = jnp.full((1, t), 2**31 - 1, jnp.int32)
+        b_tot = red.full_row(-1)
+        b_err = red.full_row(2**31 - 1)
         for k, (sa, sb, sc) in enumerate(cand):
-            pm, be = pm_k[k:k + 1], be_k[k:k + 1]
+            pm, be = red.row(pm_k, k), red.row(be_k, k)
             ok = adm(pm, be)
             total = sa + sb + sc
             take = ok & ((total > b_tot) | ((total == b_tot) & (be < b_err)))
@@ -590,22 +672,29 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
 
     # ---- dither + crush (ops/dither.py) ----------------------------------
     if dither:
-        pltpu.prng_seed(params_ref[0] + pl.program_id(0))
+        # reducers on multi-dim kernel grids supply a flattened tile id so
+        # every tile's stream is distinct (1-D grids keep program_id(0))
+        pid = getattr(red, "dither_pid", None)
+        pltpu.prng_seed(params_ref[0]
+                        + (pl.program_id(0) if pid is None else pid))
         q = []
         for k in range(3):
             s = shifts[k]
             bits = pltpu.bitcast(
                 pltpu.prng_random_bits(packed.shape), jnp.uint32
             ).astype(jnp.int32)
-            live = (s > 0) & (s < 8)
+            live = red.up((s > 0) & (s < 8))
             noise = jnp.where(
                 live,
-                (bits & ((1 << s) - 1)) - (1 << jnp.maximum(s - 1, 0)),
+                (bits & red.up((1 << s) - 1))
+                - red.up(1 << jnp.maximum(s - 1, 0)),
                 0,
             )
-            q.append(jnp.clip(f8[k] + noise, 0, 255) >> jnp.minimum(s, 8))
+            q.append(jnp.clip(f8[k] + noise, 0, 255)
+                     >> red.up(jnp.minimum(s, 8)))
     else:
-        q = [f >> jnp.minimum(shifts[k], 8) for k, f in enumerate(f8)]
+        q = [f >> red.up(jnp.minimum(shifts[k], 8))
+             for k, f in enumerate(f8)]
 
     dec = decode_eval(shifts, q)
     d_f = [(jnp.clip(d, 0, 255) - p).astype(jnp.float32) for d, p in zip(dec, px_i)]

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import EncodeConfig, static_block_bits
 from .encode_fixed import (
     KernelSpec,
+    _RowOps,
     _apply_num_factors,
     _crush_dither_decode,
     _fit_and_factors,
@@ -290,7 +291,7 @@ def _butterfly(row, d: int, op, lanes: int, lane_iota):
     return op(row, jnp.where((lane_iota & d) != 0, up, down))
 
 
-class _GroupReducer:
+class _GroupReducer(_RowOps):
     """Reduce (P, T) arrays over aligned groups of ``group`` lanes.
 
     Duck-types pallas_kernels.encode_fixed._Reducer: sum/max/min return
@@ -322,7 +323,7 @@ class _GroupReducer:
         return self._combine(jnp.min(x, axis=0, keepdims=True), jnp.minimum)
 
 
-class _OwnerReducer:
+class _OwnerReducer(_RowOps):
     """Per-lane reductions over each lane's OWN owner-level group.
 
     Computes the butterfly hierarchy once (groups of 4, 16, ...) and
@@ -372,16 +373,17 @@ MATCH_REASON_BITS = (
 )
 
 
-def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
+def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int, R: int = 1):
     """In-kernel block-similarity predicate on lane rows.
 
     Port of ops.match.match_decomps (reference:
     limg_encode_3d_matches_sse2, src/limg.cpp:1137-1275) operating on
-    (ch, T) VMEM rows; the 27 cross-projected probes batch as (27, T)
-    arrays. Running the predicate INSIDE the fit kernel removes ~8 ms of
-    per-4K jnp glue (hundreds of 20 us dispatches measured by
-    tools/profiling/xplane_top.py). Returns (match (1, T) bool,
-    reason (1, T) i32 bitmask of MATCH_REASON_BITS).
+    (ch*R, T) VMEM rows; the 27 cross-projected probes batch as
+    (27, R, T) arrays (R = row sublane height: 1 for the Morton lane
+    layout, 8 for the natural row-major layout). Running the predicate
+    INSIDE the fit kernel removes ~8 ms of per-4K jnp glue (hundreds of
+    20 us dispatches measured by tools/profiling/xplane_top.py). Returns
+    (match (R, T) bool, reason (R, T) i32 bitmask of MATCH_REASON_BITS).
     """
     from ..ops.match import (
         _COLOR_DIFF_FACTORS, _MAX_RATIO, _MAX_FACTOR_SUM,
@@ -389,13 +391,16 @@ def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
 
     w = _COLOR_DIFF_FACTORS
 
+    def rw(arr, c):
+        return arr[c * R:(c + 1) * R]
+
     def normals(eps):
         ia_min, ia_max, ib_off, ib_mag, ic_off, ic_mag = eps
-        na = [(ia_max[c:c + 1] - ia_min[c:c + 1]).astype(jnp.float32)
+        na = [(rw(ia_max, c) - rw(ia_min, c)).astype(jnp.float32)
               for c in range(channels)]
-        nb = [(ib_mag[c:c + 1] - ib_off[c:c + 1]).astype(jnp.float32)
+        nb = [(rw(ib_mag, c) - rw(ib_off, c)).astype(jnp.float32)
               for c in range(channels)]
-        nc = [(ic_mag[c:c + 1] - ic_off[c:c + 1]).astype(jnp.float32)
+        nc = [(rw(ic_mag, c) - rw(ic_off, c)).astype(jnp.float32)
               for c in range(channels)]
         len_sq = [
             3.0 + sum(n[c] * n[c] * w[c] for c in range(channels))
@@ -410,11 +415,11 @@ def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
     def probe_factors(colors, eps, nrm):
         na_, nb_, nc_ = nrm
         ila, ilb, ilc = inv_sq(na_), inv_sq(nb_), inv_sq(nc_)
-        min_a = [eps[0][c:c + 1].astype(jnp.float32) for c in range(channels)]
-        off_b = [eps[2][c:c + 1].astype(jnp.float32) for c in range(channels)]
-        off_c = [eps[4][c:c + 1].astype(jnp.float32) for c in range(channels)]
+        min_a = [rw(eps[0], c).astype(jnp.float32) for c in range(channels)]
+        off_b = [rw(eps[2], c).astype(jnp.float32) for c in range(channels)]
+        off_c = [rw(eps[4], c).astype(jnp.float32) for c in range(channels)]
         v = [colors[c] - min_a[c] for c in range(channels)]
-        fa = sum(v[c] * na_[c] for c in range(channels)) * ila     # (27, T)
+        fa = sum(v[c] * na_[c] for c in range(channels)) * ila  # (27, R?, T)
         est = [min_a[c] + fa * na_[c] for c in range(channels)]
         fb = sum((colors[c] - est[c] - off_b[c]) * nb_[c]
                  for c in range(channels)) * ilb
@@ -426,7 +431,7 @@ def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
     na_, lsq_a = normals(eps_a)
     nb_, lsq_b = normals(eps_b)
     avg_diff_sq = sum(
-        (avg_a[c:c + 1] - avg_b[c:c + 1]) ** 2 * w[c] for c in range(channels)
+        (rw(avg_a, c) - rw(avg_b, c)) ** 2 * w[c] for c in range(channels)
     )
     sum_a = lsq_a[0] + lsq_a[1] + lsq_a[2]
     sum_b = lsq_b[0] + lsq_b[1] + lsq_b[2]
@@ -438,9 +443,11 @@ def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
     ratio = (sum_a + 1.0) / (sum_b + 1.0)
     ratio_ok = (ratio <= _MAX_RATIO) & (ratio >= 1.0 / _MAX_RATIO)
 
-    # (27, 1) half-step probe weights built from iota (Pallas kernels cannot
-    # capture array constants); base-3 digits match ops.match._probe_weights
-    idx = lax.broadcasted_iota(jnp.int32, (27, 1), 0)
+    # (27, 1[, 1]) half-step probe weights built from iota (Pallas kernels
+    # cannot capture array constants); base-3 digits match
+    # ops.match._probe_weights. For R > 1 the probes go 3-D so the weight
+    # axis broadcasts against (R, T) rows.
+    idx = lax.broadcasted_iota(jnp.int32, (27, 1, 1)[: 3 if R > 1 else 2], 0)
     pw_col = [((idx // (3 ** k)) % 3).astype(jnp.float32) * 0.5
               for k in range(3)]
     colors_from_b = [
@@ -462,8 +469,10 @@ def _match_rows(avg_a, eps_a, avg_b, eps_b, channels: int):
         + jnp.abs(ga) * inv_b[0]
         + jnp.abs(0.5 - gb) * 2.0 * inv_b[1]
         + jnp.abs(0.5 - gc) * 2.0 * inv_b[2]
-    )                                                              # (27, T)
-    probe_ok = jnp.mean(dev, axis=0, keepdims=True) < _MAX_FACTOR_SUM
+    )                                                          # (27[, R], T)
+    dev_mean = (jnp.mean(dev, axis=0) if R > 1
+                else jnp.mean(dev, axis=0, keepdims=True))     # (R, T)
+    probe_ok = dev_mean < _MAX_FACTOR_SUM
 
     match = fast_accept | (ratio_ok & probe_ok)
     reason = (

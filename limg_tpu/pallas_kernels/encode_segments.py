@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.segments import SEG_CAP, SEG_ERR_SHIFT
 from .encode_fixed import (
     KernelSpec,
+    _RowOps,
     _apply_num_factors,
     _crush_dither_decode,
     _fit_and_factors,
@@ -59,7 +60,7 @@ _SENT = -9          # never equals a real segment id (ids are buffer positions)
 _STEPS = SEG_CAP.bit_length() - 1
 
 
-class _SegReducer:
+class _SegReducer(_RowOps):
     """Reduce (P, W) arrays over contiguous segments of lanes.
 
     Duck-types encode_fixed._Reducer: sum/max/min return (1, W) rows with the

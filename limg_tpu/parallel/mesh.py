@@ -276,7 +276,7 @@ def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None 
             @functools.partial(
                 jax.shard_map, mesh=mesh,
                 in_specs=(P(None, None, "blk"), P(None, "blk")),
-                out_specs=(P(None, None, "blk"), P(None, "blk"), P()),
+                out_specs=(P(None, None, "blk"), P(None, "blk"), P(), P()),
                 check_vma=False,  # pallas_call outputs carry no vma info
             )
             def shard_fn(px_s, mask_s):
@@ -287,10 +287,16 @@ def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None 
                 )[:3]
                 dec = jnp.stack([unpack_plane(dec_packed, c) for c in range(ch)])
                 src = px_s[:ch].astype(jnp.int32)
+                mask_i = mask_s.astype(jnp.int32)
                 err = (
-                    weighted_error(dec, src) * mask_s.astype(jnp.int32)
+                    weighted_error(dec, src) * mask_i
                 ).astype(jnp.float32).sum()
-                return dec, shifts, jax.lax.psum(err, "blk")
+                count = mask_i.sum(axis=0)
+                bits = (
+                    (8 - jnp.minimum(shifts, 8)) * count[None]
+                ).astype(jnp.float32).sum()
+                return (dec, shifts, jax.lax.psum(err, "blk"),
+                        jax.lax.psum(bits, "blk"))
 
             return shard_fn(px, mask)
     else:
@@ -299,13 +305,14 @@ def encode_image_blocks_sharded(image, cfg: EncodeConfig, n_devices: int | None 
             res = encode_blocks(px, mask, cfg, key)
             src = px[: cfg.channels].astype(jnp.int32)
             err = (weighted_error(res.decoded, src) * mask.astype(jnp.int32)).astype(jnp.float32).sum()
-            return res.decoded, res.shifts, err
+            return res.decoded, res.shifts, err, res.accum_bits.sum().astype(jnp.float32)
 
-    decoded, shifts, err = run(px, mask, cfg, key)
+    decoded, shifts, err, bits = run(px, mask, cfg, key)
     n = grid.height * grid.width
     mse = float(err) / n
     psnr = 10.0 * np.log10(max_possible_error(cfg.channels) / max(mse, 1e-12))
+    bpp = (float(bits) + static_block_bits(cfg.channels) * grid.num_blocks) / n
     if pad:
         decoded = decoded[..., :nb]
     img = layout.unblockify(decoded.astype(jnp.uint8), grid, BLOCK_SIZE)
-    return np.asarray(img), float(psnr)
+    return np.asarray(img), float(psnr), float(bpp)

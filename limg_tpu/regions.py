@@ -974,7 +974,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_levels", "emit_planes", "coalesce",
-                     "return_state", "hw", "cap_frac"),
+                     "return_state", "hw", "cap_frac", "fused_layout"),
 )
 def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                                      dither_key: jax.Array, num_levels: int = 3,
@@ -982,20 +982,27 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                                      coalesce: bool = True,
                                      return_state: bool = False,
                                      hw: tuple | None = None,
-                                     cap_frac: int = 8):
-    """Merged encode via the fused Morton-layout kernels (match policy).
+                                     cap_frac: int = 8,
+                                     fused_layout: str = "morton"):
+    """Merged encode via the fused kernels (match policy).
 
     Functionally equivalent to ``encode_image_merged_device(...,
     use_pallas=True, merge_policy="match")`` but ~2.5x faster: every level's
-    fit runs in ONE kernel pass (butterfly lane-group reductions over the
-    Morton-ordered block axis) and the expensive crush/dither/decode runs
-    exactly once per pixel at each block's owner level, instead of densely
-    at every level. See pallas_kernels/encode_merged.py for the layout
-    invariants. Reduction-tree order differs from the dense path, so parity
-    is owner-map/PSNR/bpp-level, not bitwise.
+    fit runs in ONE kernel pass (butterfly group reductions) and the
+    expensive crush/dither/decode runs exactly once per pixel at each
+    block's owner level, instead of densely at every level.
+
+    ``fused_layout`` selects the kernel layout: "natural" keeps every
+    kernel in the image's own row-major layout (pallas_kernels/
+    encode_natural.py -- zero Morton relayouts, rows come out in row-major
+    block order); "morton" is the Z-order lane pipeline
+    (pallas_kernels/encode_merged.py). Reduction-tree order differs from
+    the dense path either way, so parity is owner-map/PSNR/bpp-level, not
+    bitwise.
     """
     from .pallas_kernels.encode_fixed import KernelSpec
     from .pallas_kernels import encode_merged as em
+    from .pallas_kernels import encode_natural as en
 
     ch = cfg.channels
     if image.ndim == 4:
@@ -1017,18 +1024,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     grid0 = layout.grid_for(h, w, BLOCK_SIZE)
     nb = grid0.num_blocks
     by0, bx0 = grid0.blocks_y, grid0.blocks_x
-    # blockify + Morton embed as the two-pass reshape/transpose chain (lane
-    # gathers lower to serial loops on TPU, and a fused single-chain variant
-    # measured slower -- morton_blockify_packed docstring). The validity
-    # mask is computed IN-KERNEL from (h, w) iotas (no materialized 33 MB
-    # plane); only the coalesce pass of an edge-padded image still needs the
-    # elementwise Morton-order plane (it gathers mask columns by position).
-    packed_m = em.morton_blockify_packed(packed2d, h, w, num_levels)
     aligned = h % BLOCK_SIZE == 0 and w % BLOCK_SIZE == 0
-    mask_m = None if aligned else em.morton_mask(h, w, num_levels)
-
-    def to_orig(x):
-        return em.morton_restore_rows(x, by0, bx0, num_levels)
 
     kspec = KernelSpec.from_config(cfg)
     seed = jax.random.randint(dither_key, (), 0, 2**31 - 1, jnp.int32)
@@ -1038,55 +1034,119 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         jnp.int32(cfg.max_block_bit_crush_error),
     ])
     interpret = jax.default_backend() == "cpu"
-    # fit + merge decisions + owner in ONE kernel: the match predicate runs
-    # on VMEM rows (butterfly child-0 broadcasts) instead of as ~250 jnp ops
-    # over strided leader slices -- that glue measured ~8 ms per 4K
-    # (tools/profiling/xplane_top.py). Empty (grid padding) children
-    # auto-match as in the dense path.
-    (cnt0_m, f8_sel, eps_sel_m, avg_sel_m, owner_row_m, stats_bits_m,
-     reason_rows) = em.fit_levels_pallas(
-        packed_m, params, kspec, num_levels, interpret, hw=(h, w),
-        emit_match=True,
-    )
-    owner = owner_row_m[0]
-
-    # reason rows leave the kernel masked to nonempty level-l leader lanes
-    # (zero elsewhere), so each stat is a plain full-row bit count -- no
-    # ::4^l strided leader slices (those lowered to serial lane gathers)
-    merge_stats = []
-    for lvl in range(1, num_levels):
-        r = reason_rows[lvl - 1][0]
-        merge_stats.append({
-            name: ((r & bit) != 0).sum()
-            for name, bit in em.MATCH_REASON_BITS
-        })
-
-    # crush at the owner level; the owner select of factors/endpoints ran
-    # inside the FIT kernel (per-level f8 planes never leave VMEM), and the
-    # crush emits per-BLOCK dist/bpp rows -- everything downstream works at
-    # flat level-0 block granularity (stats become plain sums)
-    owner_row = owner[None, :]
     need_q0 = emit_planes or return_state
-    eps_sel = list(eps_sel_m)
-    (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m) = em.owner_crush_pallas(
-        packed_m, owner_row, f8_sel, eps_sel_m,
-        params, kspec, num_levels, interpret, hw=(h, w), emit_q=need_q0,
-    )
-
     header = static_block_bits(ch)
-
-    # ---- orig-order level-0 rows: one stacked restore for the small rows,
-    # separate multi-row restores for the big pixel planes ---------------------
     from .ops.segments import SEG_CAP
 
     grids = [layout.grid_for(h, w, BLOCK_SIZE << lvl) for lvl in range(num_levels)]
-    rows = to_orig(jnp.concatenate(
-        [owner[None], cnt0_m, bpp_m, shifts_m, *eps_sel], axis=0,
-    ))
-    owner0, cnt0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
-    ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
-    frows = to_orig(jnp.concatenate([distb_m, avg_sel_m], axis=0))
-    distb0, avg0 = frows[0], frows[1:1 + ch]
+    use_natural = (fused_layout == "natural"
+                   and num_levels <= en.MAX_NATURAL_LEVELS)
+
+    if use_natural:
+        # ---- natural (row-major) kernels: ZERO input relayouts -----------
+        # the (H', W') padded word image is a free reshape of the 4-D host
+        # view; per-block rows come out compact in row-major block order
+        # (no to_orig restores), the decode/factor planes come out natural.
+        if packed2d.ndim == 4:
+            p2 = packed2d.reshape(by0 * 8, bx0 * 8)
+        else:
+            pad_y, pad_x = by0 * 8 - h, bx0 * 8 - w
+            p2 = (jnp.pad(packed2d, ((0, pad_y), (0, pad_x)))
+                  if (pad_y or pad_x) else packed2d)
+        f8_sel_n, rows_all = en.fit_levels_natural(
+            p2, params, kspec, num_levels, interpret, hw=(h, w))
+        _, r_tot = en.fit_rows_layout(ch, num_levels)
+        rows_nb = jax.lax.optimization_barrier(
+            rows_all[:, :by0, :bx0].reshape(r_tot, nb))
+        cnt0 = rows_nb[0].astype(jnp.int32)
+        ep_rows = [rows_nb[1 + ch * k:1 + ch * (k + 1)].astype(jnp.int32)
+                   for k in range(6)]
+        avg0 = rows_nb[1 + 6 * ch:1 + 7 * ch]
+        owner0 = rows_nb[1 + 7 * ch].astype(jnp.int32)
+        stats_row = rows_nb[2 + 7 * ch].astype(jnp.int32)
+        merge_stats = []
+        for lvl in range(1, num_levels):
+            r = rows_nb[2 + 7 * ch + lvl].astype(jnp.int32)
+            merge_stats.append({
+                name: ((r & bit) != 0).sum()
+                for name, bit in em.MATCH_REASON_BITS
+            })
+        # crush consumes the [owner]+eps slices of the fit's row plane
+        # directly (f32, compact block layout -- no conversion/relayout)
+        rows_in = jnp.concatenate(
+            [rows_all[1 + 7 * ch:2 + 7 * ch], rows_all[1:1 + 6 * ch]], axis=0)
+        q_nat, dec_nat, orows = en.owner_crush_natural(
+            p2, f8_sel_n, rows_in, params, kspec, num_levels, interpret,
+            hw=(h, w), emit_q=need_q0)
+        orows_nb = jax.lax.optimization_barrier(
+            orows[:, :by0, :bx0].reshape(6, nb))
+        shifts0 = orows_nb[:3].astype(jnp.int32)
+        distb0 = orows_nb[4]
+        bpp0 = orows_nb[5].astype(jnp.int32)
+
+        # the coalesce pass addresses per-block pixel COLUMNS; one fenced
+        # blockify transpose (no Morton embed) per big plane replaces the
+        # Morton path's blockify+embed+restore chain. The planes/serializer
+        # consumers also want (64, NB) block layout for the factor plane.
+        dec_blk = en.nat_blockify(dec_nat, by0, bx0) if coalesce else None
+        q_blk = en.nat_blockify(q_nat, by0, bx0) if need_q0 else None
+    else:
+        # blockify + Morton embed as the two-pass reshape/transpose chain
+        # (lane gathers lower to serial loops on TPU, and a fused
+        # single-chain variant measured slower -- morton_blockify_packed
+        # docstring). The validity mask is computed IN-KERNEL from (h, w)
+        # iotas (no materialized 33 MB plane); only the coalesce pass of an
+        # edge-padded image still needs the elementwise Morton-order plane.
+        packed_m = em.morton_blockify_packed(packed2d, h, w, num_levels)
+        mask_m = None if aligned else em.morton_mask(h, w, num_levels)
+
+        def to_orig(x):
+            return em.morton_restore_rows(x, by0, bx0, num_levels)
+
+        # fit + merge decisions + owner in ONE kernel: the match predicate
+        # runs on VMEM rows (butterfly child-0 broadcasts) instead of as
+        # ~250 jnp ops over strided leader slices -- that glue measured
+        # ~8 ms per 4K (tools/profiling/xplane_top.py). Empty (grid
+        # padding) children auto-match as in the dense path.
+        (cnt0_m, f8_sel, eps_sel_m, avg_sel_m, owner_row_m, stats_bits_m,
+         reason_rows) = em.fit_levels_pallas(
+            packed_m, params, kspec, num_levels, interpret, hw=(h, w),
+            emit_match=True,
+        )
+        owner = owner_row_m[0]
+
+        # reason rows leave the kernel masked to nonempty level-l leader
+        # lanes (zero elsewhere), so each stat is a plain full-row bit count
+        merge_stats = []
+        for lvl in range(1, num_levels):
+            r = reason_rows[lvl - 1][0]
+            merge_stats.append({
+                name: ((r & bit) != 0).sum()
+                for name, bit in em.MATCH_REASON_BITS
+            })
+
+        # crush at the owner level; the owner select of factors/endpoints
+        # ran inside the FIT kernel (per-level f8 planes never leave VMEM),
+        # and the crush emits per-BLOCK dist/bpp rows -- everything
+        # downstream works at flat level-0 block granularity
+        owner_row = owner[None, :]
+        eps_sel = list(eps_sel_m)
+        (shifts_m, q_m, dec_m, dist_m, distb_m, bpp_m) = em.owner_crush_pallas(
+            packed_m, owner_row, f8_sel, eps_sel_m,
+            params, kspec, num_levels, interpret, hw=(h, w), emit_q=need_q0,
+        )
+
+        # ---- orig-order level-0 rows: one stacked restore for the small
+        # rows, separate multi-row restores for the big pixel planes -------
+        rows = to_orig(jnp.concatenate(
+            [owner[None], cnt0_m, bpp_m, shifts_m, *eps_sel], axis=0,
+        ))
+        owner0, cnt0, bpp0, shifts0 = rows[0], rows[1], rows[2], rows[3:6]
+        ep_rows = [rows[6 + ch * k:6 + ch * (k + 1)] for k in range(6)]
+        frows = to_orig(jnp.concatenate([distb_m, avg_sel_m], axis=0))
+        distb0, avg0 = frows[0], frows[1:1 + ch]
+        # stats_row feeds popcounts only (order-free): keep Morton order
+        stats_row = stats_bits_m[0]
     # the big (64, NBP) pixel planes STAY in Morton order through the
     # coalesce pass (which gathers/scatters them by Morton position via
     # ``mpos``), so each pays exactly one relayout: the composed
@@ -1106,8 +1166,9 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
 
     lv0 = dict(
         decomp=Decomposition(avg0, *ep_rows), shifts=shifts0,
-        q_packed=q_m if need_q0 else None,
-        dec_packed=dec_m, dist=distb0, bits=bits0, bpp_block=bpp0,
+        q_packed=(q_blk if use_natural else q_m) if need_q0 else None,
+        dec_packed=dec_blk if use_natural else dec_m,
+        dist=distb0, bits=bits0, bpp_block=bpp0,
         count=cnt0,
     )
 
@@ -1166,19 +1227,33 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                 )
                 is_run0 = is_run0 | take
         ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
-        # Morton position of each original block: the coalesce engine maps
-        # its selected block indices through this row to address the
-        # Morton-layout pixel planes (host constant; rides the multi-row
-        # index gather)
-        perm_m, _, _ = em.morton_perm(by0, bx0, num_levels)
-        valid_p = perm_m >= 0
-        mpos_np = np.zeros(nb, np.int32)
-        mpos_np[perm_m[valid_p]] = np.nonzero(valid_p)[0].astype(np.int32)
-        (lv0, run_applied, run_region_id, n_runs,
-         coalesce_stats) = coalesce_segments(
-            packed_m, mask_m, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
-            mpos=jnp.asarray(mpos_np), cap_frac=cap_frac,
-        )
+        if use_natural:
+            # natural planes are addressed by plain block index: one fenced
+            # blockify transpose of the input (no Morton embed, no mpos
+            # indirection, and the member mask comes from the run selector /
+            # an elementwise natural-order plane for edge-padded images)
+            packed_blk = en.nat_blockify(p2, by0, bx0)
+            mask_blk = (None if aligned
+                        else en.natural_mask_plane(h, w, by0, bx0))
+            (lv0, run_applied, run_region_id, n_runs,
+             coalesce_stats) = coalesce_segments(
+                packed_blk, mask_blk, seg0, is_run0, lv0, cfg, ckey,
+                "match", 0.0, mpos=None, cap_frac=cap_frac,
+            )
+        else:
+            # Morton position of each original block: the coalesce engine
+            # maps its selected block indices through this row to address
+            # the Morton-layout pixel planes (host constant; rides the
+            # multi-row index gather)
+            perm_m, _, _ = em.morton_perm(by0, bx0, num_levels)
+            valid_p = perm_m >= 0
+            mpos_np = np.zeros(nb, np.int32)
+            mpos_np[perm_m[valid_p]] = np.nonzero(valid_p)[0].astype(np.int32)
+            (lv0, run_applied, run_region_id, n_runs,
+             coalesce_stats) = coalesce_segments(
+                packed_m, mask_m, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
+                mpos=jnp.asarray(mpos_np), cap_frac=cap_frac,
+            )
 
     # ---- stats: flat level-0 sums (region values broadcast per block) ------
     s_eff0 = jnp.minimum(lv0["shifts"], 8)
@@ -1187,11 +1262,11 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     bits_histogram = (one_hot * cnt0[None, None, :]).sum(axis=2)
     total_err = lv0["dist"].sum()
     bpp_weighted = (lv0["bpp_block"].astype(jnp.float32) * cnt0).sum()
-    # bit l of the kernel's stats row marks a nonempty level-l leader lane
+    # bit l of the kernel's stats row marks a nonempty level-l leader block
     # whose group merged to >= l, so each per-level region count is a plain
     # full-row popcount of that bit (no strided leader slices)
     merged_counts = jnp.asarray([
-        ((stats_bits_m[0] >> l) & 1).sum() for l in range(num_levels)
+        ((stats_row >> l) & 1).sum() for l in range(num_levels)
     ])
 
     # the decode plane leaves as the packed (by, 8, bx, 8) i32 word view:
@@ -1199,9 +1274,18 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     # crops for free, then unpacks channels with a numpy byte view); the
     # (H, W) form would pay a second 33 MB T(8,128) retile pass on device
     # (reshape.215 in tools/profiling/xplane_detail.py, ~0.8 ms per 4K).
-    dec_plane = em.morton_unblockify(lv0["dec_packed"], h, w, num_levels,
-                                     as_4d=True)
-    q0 = to_orig(lv0["q_packed"]) if need_q0 else None
+    if use_natural:
+        if lv0["dec_packed"] is not None:
+            # coalesce scattered run decodes into the blockified plane
+            dec_plane = en.nat_unblockify(lv0["dec_packed"], by0, bx0)
+        else:
+            dec_plane = jax.lax.optimization_barrier(
+                dec_nat.reshape(by0, 8, bx0, 8))
+        q0 = lv0["q_packed"] if need_q0 else None
+    else:
+        dec_plane = em.morton_unblockify(lv0["dec_packed"], h, w, num_levels,
+                                         as_4d=True)
+        q0 = to_orig(lv0["q_packed"]) if need_q0 else None
 
     out = dict(
         decoded_words=dec_plane,
@@ -1261,7 +1345,8 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
                         return_state: bool = False,
                         rd_header_bits: int | None = None,
                         fetch_decoded: bool = True,
-                        cap_frac: int = 8):
+                        cap_frac: int = 8,
+                        fused_layout: str = "morton"):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -1301,7 +1386,7 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
         out = encode_image_merged_fused_device(
             image, cfg, key, num_levels, emit_planes=fetch_planes,
             coalesce=coalesce, return_state=return_state, hw=hw,
-            cap_frac=cap_frac,
+            cap_frac=cap_frac, fused_layout=fused_layout,
         )
     else:
         out = encode_image_merged_device(

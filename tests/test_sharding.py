@@ -26,12 +26,14 @@ def test_corpus_sharded_over_mesh(images):
 def test_blocks_sharded_matches_unsharded(rng):
     img = make_test_image(rng, 32, 64)
     cfg = EncodeConfig(error_factor=100, crush_mode="none", dithering=False)
-    dec8, psnr8 = encode_image_blocks_sharded(img, cfg, n_devices=8)
-    dec1, psnr1 = encode_image_blocks_sharded(img, cfg, n_devices=1)
+    dec8, psnr8, bpp8 = encode_image_blocks_sharded(img, cfg, n_devices=8)
+    dec1, psnr1, bpp1 = encode_image_blocks_sharded(img, cfg, n_devices=1)
     # block-elementwise pipeline: sharding must not change the result
     assert np.array_equal(dec8, dec1)
     assert abs(psnr8 - psnr1) < 1e-6
+    assert abs(bpp8 - bpp1) < 1e-6
     assert psnr8 > 25.0
+    assert 0 < bpp8 < 32
 
 
 def test_corpus_sharded_pallas_matches_jnp(images):
@@ -55,11 +57,12 @@ def test_blocks_sharded_pallas_kernel_in_shard_map():
     jnp and Pallas stay bit-identical on decode."""
     img = make_test_image(np.random.default_rng(4242), 32, 64)
     cfg = EncodeConfig(error_factor=100, crush_mode="none", dithering=False)
-    dec_p, psnr_p = encode_image_blocks_sharded(img, cfg, n_devices=8,
-                                                use_pallas=True)
-    dec_j, psnr_j = encode_image_blocks_sharded(img, cfg, n_devices=8)
+    dec_p, psnr_p, bpp_p = encode_image_blocks_sharded(img, cfg, n_devices=8,
+                                                       use_pallas=True)
+    dec_j, psnr_j, bpp_j = encode_image_blocks_sharded(img, cfg, n_devices=8)
     assert np.array_equal(dec_p, dec_j)
     assert abs(psnr_p - psnr_j) < 1e-6
+    assert abs(bpp_p - bpp_j) < 1e-6  # same (8-s_eff)*count accounting
 
 
 def test_corpus_sharded_mixed_sizes():

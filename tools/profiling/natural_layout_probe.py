@@ -108,9 +108,13 @@ def _make_fit_like_kernel(levels, h, w, n_minmax=6):
         sel = (lax.broadcasted_iota(jnp.int32, (tw, tw // 8), 0)
                == 8 * lax.broadcasted_iota(jnp.int32, (tw, tw // 8), 1)
                ).astype(jnp.float32)
+        # HIGHEST: the MXU truncates f32 operands to bf16 at default
+        # precision (measured 0.37% rel err on compiled device); the
+        # selection dot must pass values through exactly.
         compact = jax.lax.dot_general(
             stack, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (R*8, tw//8)
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)                 # (R*8, tw//8)
         for i, ref in enumerate(row_refs):
             ref[...] = compact[8 * i:8 * (i + 1)].reshape(1, 8, tw // 8)
 
