@@ -464,12 +464,13 @@ def _crush_dither_decode(packed, mask_i, f8, endpoints, count, spec: KernelSpec,
         return [jnp.clip(d, 0, 255) for d in dec]
 
     def crush_eval(s):
-        """s: 3 x (1,T) -> (pix_max, block_err), each (1,T) int32."""
+        """s: 3 shift rows -> (pix_max, block_err) rows, int32."""
         est = axis_contrib(0, s[0])
         for k in (1, 2):
             ck = axis_contrib(k, s[k])
             est = [e + c for e, c in zip(est, ck)]
         return err_from_est(est)
+
 
     t = packed.shape[-1]
     zero_row = red.full_row(0)

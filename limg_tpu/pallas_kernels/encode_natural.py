@@ -63,9 +63,16 @@ from .encode_fixed import (
 )
 from .encode_merged import MATCH_REASON_BITS, _match_rows
 
-_T_W = 1024          # pixel lanes per tile = 128 block columns
+_T_W = 512           # pixel lanes per tile = 64 block columns
 _T_H = 64            # pixel sublanes per tile = 8 block rows
-MAX_NATURAL_LEVELS = 4   # level-3 groups (8x8 blocks) fill one tile exactly
+_C_W = 128           # compact row block width (Mosaic lane minimum); a
+                     # (64, 512) tile holds 64 blocks per row, so compact
+                     # columns 64..127 are exact zeros (one-hot dot with
+                     # zero selection columns) and the driver drops them.
+                     # (64, 1024) tiles with a fully-used 128-wide compact
+                     # blew the ~16 MB VMEM scope: the crush kernel's
+                     # scoped stack measured 18.7 MB.
+MAX_NATURAL_LEVELS = 4   # level-3 groups (8x8 blocks) fill one tile's rows
 
 
 def _lane_butterfly(rows, d: int, op, lanes: int, lane_iota):
@@ -186,13 +193,15 @@ class NatOwnerReducer(_NatRowOps):
 
 
 def _compact(stack, lanes: int):
-    """(h, T) f32 replicated rows -> (h, T//8): one value per block.
+    """(h, T) f32 replicated rows -> (h, _C_W): one value per block.
 
     One-hot column-selection dot; Precision.HIGHEST makes the MXU pass
-    normal f32 through exactly (onehot_exact_probe.py)."""
-    sel = (lax.broadcasted_iota(jnp.int32, (lanes, lanes // 8), 0)
-           == 8 * lax.broadcasted_iota(jnp.int32, (lanes, lanes // 8), 1)
-           ).astype(jnp.float32)
+    normal f32 through exactly (onehot_exact_probe.py). Compact columns
+    >= lanes//8 (the tile holds lanes//8 blocks per row) select nothing
+    and are exact zeros."""
+    row_i = lax.broadcasted_iota(jnp.int32, (lanes, _C_W), 0)
+    col_i = lax.broadcasted_iota(jnp.int32, (lanes, _C_W), 1)
+    sel = ((row_i == 8 * col_i) & (col_i < lanes // 8)).astype(jnp.float32)
     return jax.lax.dot_general(
         stack, sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -200,10 +209,11 @@ def _compact(stack, lanes: int):
 
 
 def _expand(crows, lanes: int):
-    """(h, T//8) compact rows -> (h, T) lane-replicated (inverse of
-    _compact): selection dot with E[c, j] = (c == j // 8)."""
-    e = (lax.broadcasted_iota(jnp.int32, (lanes // 8, lanes), 0)
-         == lax.broadcasted_iota(jnp.int32, (lanes // 8, lanes), 1) // 8
+    """(h, _C_W) compact rows -> (h, T) lane-replicated (inverse of
+    _compact): selection dot with E[c, j] = (c == j // 8); only compact
+    columns < lanes//8 are addressed."""
+    e = (lax.broadcasted_iota(jnp.int32, (_C_W, lanes), 0)
+         == lax.broadcasted_iota(jnp.int32, (_C_W, lanes), 1) // 8
          ).astype(jnp.float32)
     return jax.lax.dot_general(
         crows, e, (((1,), (0,)), ((), ())),
@@ -216,6 +226,18 @@ def _tile_mask(h: int, w: int, shape, iy, ix):
     row = iy + lax.broadcasted_iota(jnp.int32, shape, 0)
     col = ix + lax.broadcasted_iota(jnp.int32, shape, 1)
     return ((row < h) & (col < w)).astype(jnp.int32)
+
+
+def rows_to_blocks(rows, by: int, bx: int):
+    """(r, BYP, GX*_C_W) kernel row plane -> (r, by*bx) flat per-block rows
+    in row-major block order: drop each tile group's zero upper half
+    (compact cols >= _T_W//8) and the grid padding."""
+    r, byp, wc = rows.shape
+    gx = wc // _C_W
+    bpt = _T_W // 8        # real block columns per tile group
+    v = rows.reshape(r, byp, gx, _C_W)[..., :bpt].reshape(r, byp, gx * bpt)
+    return jax.lax.optimization_barrier(
+        v[:, :by, :bx].reshape(r, by * bx))
 
 
 def nat_blockify(plane2d, by: int, bx: int):
@@ -370,9 +392,9 @@ def _make_nat_fit_kernel(spec: KernelSpec, levels: int, hw: tuple):
 
         stack = jnp.concatenate(
             [r.astype(jnp.float32) for r in rows_out], axis=0)
-        compact = _compact(stack, tw)              # (r_tot*8, T//8)
+        compact = _compact(stack, tw)              # (r_tot*8, _C_W)
         r_tot = compact.shape[0] // 8
-        rows_ref[...] = compact.reshape(r_tot, 8, tw // 8)
+        rows_ref[...] = compact.reshape(r_tot, 8, _C_W)
 
     return kernel
 
@@ -386,14 +408,16 @@ def fit_levels_natural(packed2d, params, kspec: KernelSpec, levels: int,
     packed2d: (by*8, bx*8) int32 packed-word image (the free reshape of the
     host 4-D block view); ``hw`` = true (h, w) for the in-kernel validity
     mask. Returns (f8_sel (by*8, bx*8) i32 owner-selected factor plane,
-    rows (r_tot, BYP, BXP) f32 compact per-block rows in the
-    fit_rows_layout order, padded to the tile grid: BYP = ceil(by/8)*8,
-    BXP = ceil(bx/128)*128).
+    rows (r_tot, BYP, GX*_C_W) f32 compact per-block rows in the
+    fit_rows_layout order, in the padded tile geometry: BYP = ceil(by/8)*8
+    block rows; each tile's _C_W-wide compact group carries its
+    _T_W//8 = 64 block columns in lanes [0, 64) and exact zeros above
+    (``rows_to_blocks`` extracts the (r, by, bx) view).
     """
     hp, wp = packed2d.shape
     gy = -(-hp // _T_H)
     gx = -(-wp // _T_W)
-    byp, bxp = gy * 8, gx * 128
+    byp = gy * 8
     _, r_tot = fit_rows_layout(kspec.channels, levels)
 
     f8_sel, rows = pl.pallas_call(
@@ -403,12 +427,12 @@ def fit_levels_natural(packed2d, params, kspec: KernelSpec, levels: int,
             in_specs=[pl.BlockSpec((_T_H, _T_W), lambda i, j, *_: (i, j))],
             out_specs=(
                 pl.BlockSpec((_T_H, _T_W), lambda i, j, *_: (i, j)),
-                pl.BlockSpec((r_tot, 8, 128), lambda i, j, *_: (0, i, j)),
+                pl.BlockSpec((r_tot, 8, _C_W), lambda i, j, *_: (0, i, j)),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((r_tot, byp, bxp), jnp.float32),
+            jax.ShapeDtypeStruct((r_tot, byp, gx * _C_W), jnp.float32),
         ),
         interpret=interpret,
     )(params, packed2d)
@@ -437,7 +461,7 @@ def _make_nat_crush_kernel(spec: KernelSpec, levels: int, emit_q: bool,
         # lane-replicated block rows; values are exact ints in f32
         rin = rows_ref[...]
         r_in = rin.shape[0]
-        rep = _expand(rin.reshape(r_in * 8, tw // 8), tw)
+        rep = _expand(rin.reshape(r_in * 8, _C_W), tw)
 
         def rows_at(start, n):
             return rep[8 * start:8 * (start + n)]
@@ -477,7 +501,7 @@ def _make_nat_crush_kernel(spec: KernelSpec, levels: int, emit_q: bool,
             dist, distb, bpp.astype(jnp.float32)]
         stack = jnp.concatenate(rows_out, axis=0)
         compact = _compact(stack, tw)
-        orow_ref[...] = compact.reshape(6, 8, tw // 8)
+        orow_ref[...] = compact.reshape(6, 8, _C_W)
 
     return kernel
 
@@ -490,16 +514,16 @@ def owner_crush_natural(packed2d, f8_sel, rows_in, params, kspec: KernelSpec,
     """Crush + dither + decode once per pixel at each block's owner level,
     natural layout.
 
-    rows_in: (1 + 6*ch, BYP, BXP) f32 -- the [owner] + eps slices of
+    rows_in: (1 + 6*ch, BYP, GX*_C_W) f32 -- the [owner] + eps slices of
     fit_levels_natural's row plane, consumed WITHOUT conversion or
-    relayout. Returns (q (H', W') i32 | None, dec (H', W') i32,
-    out_rows (6, BYP, BXP) f32 = [shift_a, shift_b, shift_c, dist(region),
-    dist_block, bpp_block]).
+    relayout (same padded tile geometry). Returns (q (H', W') i32 | None,
+    dec (H', W') i32, out_rows (6, BYP, GX*_C_W) f32 = [shift_a, shift_b,
+    shift_c, dist(region), dist_block, bpp_block]).
     """
     hp, wp = packed2d.shape
     gy = -(-hp // _T_H)
     gx = -(-wp // _T_W)
-    byp, bxp = gy * 8, gx * 128
+    byp = gy * 8
     r_in = rows_in.shape[0]
 
     q_specs = ((pl.BlockSpec((_T_H, _T_W), lambda i, j, *_: (i, j)),)
@@ -513,16 +537,16 @@ def owner_crush_natural(packed2d, f8_sel, rows_in, params, kspec: KernelSpec,
             in_specs=[
                 pl.BlockSpec((_T_H, _T_W), lambda i, j, *_: (i, j)),
                 pl.BlockSpec((_T_H, _T_W), lambda i, j, *_: (i, j)),
-                pl.BlockSpec((r_in, 8, 128), lambda i, j, *_: (0, i, j)),
+                pl.BlockSpec((r_in, 8, _C_W), lambda i, j, *_: (0, i, j)),
             ],
             out_specs=q_specs + (
                 pl.BlockSpec((_T_H, _T_W), lambda i, j, *_: (i, j)),
-                pl.BlockSpec((6, 8, 128), lambda i, j, *_: (0, i, j)),
+                pl.BlockSpec((6, 8, _C_W), lambda i, j, *_: (0, i, j)),
             ),
         ),
         out_shape=q_shapes + (
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((6, byp, bxp), jnp.float32),
+            jax.ShapeDtypeStruct((6, byp, gx * _C_W), jnp.float32),
         ),
         interpret=interpret,
     )(params, packed2d, f8_sel, rows_in)

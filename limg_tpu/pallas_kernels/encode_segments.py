@@ -118,39 +118,66 @@ def _make_segment_kernel(spec: KernelSpec, emit_q: bool, t_lanes: int):
                sl_ref, sc_ref, sr_ref, *out_refs):
         pid = pl.program_id(0)
         last = pl.num_programs(0) - 1
-        seg_l = jnp.where(pid == 0, _SENT, sl_ref[...])
-        seg_r = jnp.where(pid == last, _SENT, sr_ref[...])
-        seg = jnp.concatenate([seg_l, sc_ref[...], seg_r], axis=-1)
-        packed = jnp.concatenate(
-            [pkl_ref[...], pkc_ref[...], pkr_ref[...]], axis=-1)
-        mask_i = jnp.concatenate(
-            [ml_ref[...], mc_ref[...], mr_ref[...]], axis=-1)
-        w = packed.shape[-1]
-        red = _SegReducer(seg, w)
 
-        f8, endpoints, count, avg = _fit_and_factors(
-            packed, mask_i, channels, red)
-        endpoints = _apply_num_factors(endpoints, spec.num_factors)
-        shifts, q, dec, _dist, err = _crush_dither_decode(
-            packed, mask_i, f8, endpoints, count, spec, params_ref, red,
-            emit_pixel_err=True,
-        )
+        # Content-adaptive cost: the buffer is sorted runs-first and the
+        # member mask is pre-ANDed with the run selector, so a center
+        # window with no masked pixel holds only rejected/padding lanes.
+        # Its computed outputs are exactly zero anyway (empty fits project
+        # to zero endpoints/factors, the crush finds no admissible shift,
+        # the decode of zero endpoints is zero), so skipping the body and
+        # zero-filling is value-identical -- which is what makes FULL
+        # buffer capacity affordable: empty tiles cost a DMA, not compute.
+        has_work = jnp.any(mc_ref[...] > 0)
 
-        def ctr(x):
-            return x[:, _H:_H + t_lanes]
+        @pl.when(jnp.logical_not(has_work))
+        def _zero_fill():
+            for i, ref in enumerate(out_refs):
+                if i == 0 and spec.num_factors < 3:
+                    # statically dropped axes store shift 8 even on empty
+                    # lanes (encode_fixed forces them after the search)
+                    ref[...] = jnp.concatenate([
+                        jnp.full((1, t_lanes),
+                                 0 if k < spec.num_factors else 8, jnp.int32)
+                        for k in range(3)], axis=0)
+                else:
+                    ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
-        refs = list(out_refs)
-        refs.pop(0)[...] = ctr(jnp.concatenate(shifts, axis=0))
-        if emit_q:
-            refs.pop(0)[...] = ctr(q[0] + (q[1] << 8) + (q[2] << 16))
-        refs.pop(0)[...] = ctr(_pack_dec(dec, channels))
-        refs.pop(0)[...] = ctr(jnp.sum(err, axis=0, keepdims=True))
-        refs.pop(0)[...] = ctr(jnp.sum(mask_i, axis=0, keepdims=True))
-        refs.pop(0)[...] = ctr(count)
-        eps_arr = tuple(jnp.concatenate(rows, axis=0) for rows in endpoints)
-        for e in eps_arr:
-            refs.pop(0)[...] = ctr(e)
-        refs.pop(0)[...] = ctr(jnp.concatenate(avg, axis=0))
+        @pl.when(has_work)
+        def _body():
+            seg_l = jnp.where(pid == 0, _SENT, sl_ref[...])
+            seg_r = jnp.where(pid == last, _SENT, sr_ref[...])
+            seg = jnp.concatenate([seg_l, sc_ref[...], seg_r], axis=-1)
+            packed = jnp.concatenate(
+                [pkl_ref[...], pkc_ref[...], pkr_ref[...]], axis=-1)
+            mask_i = jnp.concatenate(
+                [ml_ref[...], mc_ref[...], mr_ref[...]], axis=-1)
+            w = packed.shape[-1]
+            red = _SegReducer(seg, w)
+
+            f8, endpoints, count, avg = _fit_and_factors(
+                packed, mask_i, channels, red)
+            endpoints = _apply_num_factors(endpoints, spec.num_factors)
+            shifts, q, dec, _dist, err = _crush_dither_decode(
+                packed, mask_i, f8, endpoints, count, spec, params_ref, red,
+                emit_pixel_err=True,
+            )
+
+            def ctr(x):
+                return x[:, _H:_H + t_lanes]
+
+            refs = list(out_refs)
+            refs.pop(0)[...] = ctr(jnp.concatenate(shifts, axis=0))
+            if emit_q:
+                refs.pop(0)[...] = ctr(q[0] + (q[1] << 8) + (q[2] << 16))
+            refs.pop(0)[...] = ctr(_pack_dec(dec, channels))
+            refs.pop(0)[...] = ctr(jnp.sum(err, axis=0, keepdims=True))
+            refs.pop(0)[...] = ctr(jnp.sum(mask_i, axis=0, keepdims=True))
+            refs.pop(0)[...] = ctr(count)
+            eps_arr = tuple(
+                jnp.concatenate(rows, axis=0) for rows in endpoints)
+            for e in eps_arr:
+                refs.pop(0)[...] = ctr(e)
+            refs.pop(0)[...] = ctr(jnp.concatenate(avg, axis=0))
 
     return kernel
 

@@ -1055,9 +1055,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
                   if (pad_y or pad_x) else packed2d)
         f8_sel_n, rows_all = en.fit_levels_natural(
             p2, params, kspec, num_levels, interpret, hw=(h, w))
-        _, r_tot = en.fit_rows_layout(ch, num_levels)
-        rows_nb = jax.lax.optimization_barrier(
-            rows_all[:, :by0, :bx0].reshape(r_tot, nb))
+        rows_nb = en.rows_to_blocks(rows_all, by0, bx0)
         cnt0 = rows_nb[0].astype(jnp.int32)
         ep_rows = [rows_nb[1 + ch * k:1 + ch * (k + 1)].astype(jnp.int32)
                    for k in range(6)]
@@ -1078,8 +1076,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         q_nat, dec_nat, orows = en.owner_crush_natural(
             p2, f8_sel_n, rows_in, params, kspec, num_levels, interpret,
             hw=(h, w), emit_q=need_q0)
-        orows_nb = jax.lax.optimization_barrier(
-            orows[:, :by0, :bx0].reshape(6, nb))
+        orows_nb = en.rows_to_blocks(orows, by0, bx0)
         shifts0 = orows_nb[:3].astype(jnp.int32)
         distb0 = orows_nb[4]
         bpp0 = orows_nb[5].astype(jnp.int32)

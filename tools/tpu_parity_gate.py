@@ -318,6 +318,59 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
             bad = [k for k, v in checks.items() if not v]
             results[name]["bad_outputs"] = bad
             failures.append(name)
+
+    # the natural-layout merged kernels (row-major tiles, lane+sublane
+    # butterflies, one-hot MXU output compaction): compiled Mosaic vs the
+    # Pallas interpreter, including edge-padded (h, w) so the in-kernel
+    # mask + partial edge tiles are exercised, and the MXU compaction dot's
+    # bit-exact pass-through is gated on real hardware
+    from limg_tpu.pallas_kernels.encode_natural import (
+        fit_levels_natural, owner_crush_natural, rows_to_blocks,
+    )
+    from limg_tpu.ops import layout as L
+
+    rng6 = np.random.default_rng(43)
+    for ch, (h, w) in [(3, (64, 128)), (3, (52, 92)), (4, (52, 92))]:
+        levels = 3
+        img = rng6.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        img[:24, :, :3] = [40, 90, 200]
+        if ch == 3:
+            img[..., 3] = 255
+        v4, _, _ = L.host_block_view(img)
+        by, bx = v4.shape[0], v4.shape[2]
+        p2 = jnp.asarray(np.asarray(v4).reshape(by * 8, bx * 8))
+        cfg = EncodeConfig(error_factor=100, has_alpha=(ch == 4),
+                           crush_mode="ladder", dithering=False)
+        ksp = KSpec.from_config(cfg)
+        params = jnp.asarray([0, cfg.max_pixel_bit_crush_error,
+                              cfg.max_block_bit_crush_error], jnp.int32)
+        sides = {}
+        for interp in (False, True):
+            f8_sel, rows = fit_levels_natural(p2, params, ksp, levels,
+                                              interp, hw=(h, w))
+            rows_in = jnp.concatenate(
+                [rows[1 + 7 * ch:2 + 7 * ch], rows[1:1 + 6 * ch]], axis=0)
+            q_n, dec_n, orows = owner_crush_natural(
+                p2, f8_sel, rows_in, params, ksp, levels, interp,
+                hw=(h, w), emit_q=True)
+            # compare valid extent only (edge-tile padding is undefined)
+            sides[interp] = [
+                np.asarray(f8_sel)[:h, :w],
+                np.asarray(rows_to_blocks(rows, by, bx)),
+                np.asarray(q_n)[:h, :w],
+                np.asarray(dec_n)[:h, :w],
+                np.asarray(rows_to_blocks(orows, by, bx)),
+            ]
+        checks = {
+            f"out{i}": bool(np.array_equal(a, b))
+            for i, (a, b) in enumerate(zip(sides[False], sides[True]))
+        }
+        name = f"natural_fused_ch{ch}_{h}x{w}"
+        results[name] = {"exact": all(checks.values())}
+        if not all(checks.values()):
+            bad = [k for k, v in checks.items() if not v]
+            results[name]["bad_outputs"] = bad
+            failures.append(name)
     return results, failures
 
 
