@@ -534,6 +534,90 @@ def match_pairs_pallas(rows_a, rows_b, channels: int, interpret: bool = False):
     return m[0, :n].astype(bool)
 
 
+def _make_match_neighbors_kernel(channels: int):
+    """Left/up neighbor similarity computed directly on the (7ch, by, bx)
+    row plane -- no shifted-slice assembly, no flat concat, no pads.
+
+    The tile block is (7ch, 8, 128) -> flattened (7ch*8, 128), which is
+    exactly the R=8 row convention of _match_rows (field f occupies
+    sublanes [8f, 8f+8)). Right/down neighbors come from a lane/sublane
+    roll with the seam filled from a one-block halo. Evaluation order
+    matches neighbor_pair_matches' flat path (a = the +1 neighbor,
+    b = the block itself), so the bits are identical to match_decomps.
+    """
+    n = 7 * channels
+
+    def kernel(c_ref, r_ref, b_ref, m_ref):
+        h = n * 8
+        c = c_ref[...].reshape(h, 128)
+        rh = r_ref[...].reshape(h, 128)
+        bh = b_ref[...].reshape(h, 128)
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sub = lax.broadcasted_iota(jnp.int32, (h, 1), 0) & 7
+
+        # right neighbor: lane x <- col x+1 (left-roll by 1); the seam
+        # lane 127 takes the right halo's col 0 (right-roll by 127)
+        right = jnp.where(lane == 127,
+                          pltpu.roll(rh, shift=127, axis=1),
+                          pltpu.roll(c, shift=127, axis=1))
+        # down neighbor: block-row y <- y+1 within each field's 8-sublane
+        # group; the seam row 7 takes the bottom halo's row 0
+        down = jnp.where(sub == 7,
+                         pltpu.roll(bh, shift=7, axis=0),
+                         pltpu.roll(c, shift=h - 1, axis=0))
+
+        def split(stack):
+            avg = stack[:8 * channels]
+            eps = tuple(stack[8 * channels * (1 + k):8 * channels * (2 + k)]
+                        for k in range(6))
+            return avg, eps
+
+        avg_c, eps_c = split(c)
+        avg_r, eps_r = split(right)
+        avg_d, eps_d = split(down)
+        ml, _ = _match_rows(avg_r, eps_r, avg_c, eps_c, channels, R=8)
+        mu, _ = _match_rows(avg_d, eps_d, avg_c, eps_c, channels, R=8)
+        m_ref[...] = jnp.stack(
+            [ml.astype(jnp.int32), mu.astype(jnp.int32)], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "interpret"))
+def match_neighbors_pallas(rows_plane, channels: int, interpret: bool = False):
+    """(7ch, by, bx) f32 row plane -> (m_right (by, bx), m_down (by, bx))
+    bool planes: m_right[y, x] = match((y, x+1), (y, x)), m_down[y, x] =
+    match((y+1, x), (y, x)) -- the caller slices off the last col/row."""
+    n, by, bx = rows_plane.shape
+    byp = -(-by // 8) * 8
+    bxp = -(-bx // 128) * 128
+    if (byp, bxp) != (by, bx):
+        rows_plane = jnp.pad(rows_plane,
+                             ((0, 0), (0, byp - by), (0, bxp - bx)))
+    gy, gx = byp // 8, bxp // 128
+
+    def c_map(i, j):
+        return (0, i, j)
+
+    def r_map(i, j):
+        return (0, i, jnp.minimum(j + 1, gx - 1))
+
+    def b_map(i, j):
+        return (0, jnp.minimum(i + 1, gy - 1), j)
+
+    m = pl.pallas_call(
+        _make_match_neighbors_kernel(channels),
+        grid=(gy, gx),
+        in_specs=[pl.BlockSpec((n, 8, 128), c_map),
+                  pl.BlockSpec((n, 8, 128), r_map),
+                  pl.BlockSpec((n, 8, 128), b_map)],
+        out_specs=pl.BlockSpec((2, 8, 128), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((2, byp, bxp), jnp.int32),
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(rows_plane, rows_plane, rows_plane)
+    return m[0, :by, :bx].astype(bool), m[1, :by, :bx].astype(bool)
+
+
 def _make_fit_levels_kernel(spec: KernelSpec, levels: int,
                             emit_match: bool = False,
                             hw: tuple | None = None):

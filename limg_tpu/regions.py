@@ -272,19 +272,37 @@ def neighbor_pair_matches(decomps, grids, channels: int):
     # each part ships as ONE stacked (7*ch, n) f32 array (endpoints are
     # int16-range, exact in f32) so the cross-level concatenate is 7x fewer
     # XLA update-slices than per-field concats -- this assembly showed up as
-    # ~0.7 ms of dynamic-update-slice/copy glue per 4K in the xplane profile
+    # ~0.7 ms of dynamic-update-slice/copy glue per 4K in the xplane profile.
+    # BIG grids skip the assembly entirely: match_neighbors_pallas computes
+    # the left/up matches on the (7ch, gy, gx) row plane in-kernel (roll +
+    # halo seams), which removed the remaining ~0.9 ms of shifted-slice
+    # fusions/pads/gathers the flat path still paid on a 4K
+    # (tools/profiling/xplane_natural.py morton 1). Both paths are
+    # bit-identical to match_decomps.
     ch = channels
+    use_kernel = jax.default_backend() != "cpu"
+    out_slots = [None] * len(grids)
     parts_a, parts_b, sizes = [], [], []
-    for d, grid in zip(decomps, grids):
+    flat_levels = []
+    for li, (d, grid) in enumerate(zip(decomps, grids)):
         gy, gx = grid.blocks_y, grid.blocks_x
         stacked = (d if isinstance(d, jnp.ndarray)
                    else jnp.concatenate([f.astype(jnp.float32) for f in d],
                                         axis=0))
         rows = stacked.astype(jnp.float32).reshape(7 * ch, gy, gx)
 
+        if use_kernel and gy * gx >= 16384:
+            from .pallas_kernels.encode_merged import match_neighbors_pallas
+
+            mr, md = match_neighbors_pallas(rows, ch)
+            out_slots[li] = (mr[:, :gx - 1] if gx > 1 else None,
+                            md[:gy - 1, :] if gy > 1 else None)
+            continue
+
         def part(sl_y, sl_x, r=rows, n=7 * ch):
             return r[:, sl_y, sl_x].reshape(n, -1)
 
+        flat_levels.append(li)
         if gx > 1:
             parts_a.append(part(slice(None), slice(1, None)))
             parts_b.append(part(slice(None), slice(0, -1)))
@@ -298,33 +316,57 @@ def neighbor_pair_matches(decomps, grids, channels: int):
         else:
             sizes.append(0)
 
-    big_a = jnp.concatenate(parts_a, axis=-1)                    # (7ch, N)
-    big_b = jnp.concatenate(parts_b, axis=-1)
-    if jax.default_backend() != "cpu":
-        # one kernel launch; bit-identical to match_decomps on f32 rows
-        # (tests/test_segment_kernel.py::test_match_pairs_kernel)
-        from .pallas_kernels.encode_merged import match_pairs_pallas
+    if flat_levels:
+        big_a = jnp.concatenate(parts_a, axis=-1)                # (7ch, N)
+        big_b = jnp.concatenate(parts_b, axis=-1)
+        if use_kernel:
+            # one kernel launch; bit-identical to match_decomps on f32 rows
+            # (tests/test_segment_kernel.py::test_match_pairs_kernel)
+            from .pallas_kernels.encode_merged import match_pairs_pallas
 
-        m = match_pairs_pallas(big_a, big_b, channels)
-    else:
-        def split(big):
-            return Decomposition(
-                *(big[ch * i:ch * (i + 1)] for i in range(7)))
+            m = match_pairs_pallas(big_a, big_b, channels)
+        else:
+            def split(big):
+                return Decomposition(
+                    *(big[ch * i:ch * (i + 1)] for i in range(7)))
 
-        m, _ = match_decomps(split(big_a), split(big_b), channels)
-    out = []
-    off = 0
-    it = iter(sizes)
-    for grid in grids:
-        gy, gx = grid.blocks_y, grid.blocks_x
-        nl = next(it)
-        ml = m[off:off + nl].reshape(gy, gx - 1) if nl else None
-        off += nl
-        nu = next(it)
-        mu = m[off:off + nu].reshape(gy - 1, gx) if nu else None
-        off += nu
-        out.append((ml, mu))
-    return out
+            m, _ = match_decomps(split(big_a), split(big_b), channels)
+        off = 0
+        it = iter(sizes)
+        for li in flat_levels:
+            grid = grids[li]
+            gy, gx = grid.blocks_y, grid.blocks_x
+            nl = next(it)
+            ml = m[off:off + nl].reshape(gy, gx - 1) if nl else None
+            off += nl
+            nu = next(it)
+            mu = m[off:off + nu].reshape(gy - 1, gx) if nu else None
+            off += nu
+            out_slots[li] = (ml, mu)
+    return out_slots
+
+
+def _stride_take(x, s: int):
+    """x (..., H, W) -> x[..., ::s, ::s] expressed as pad + reshape + unit
+    slices instead of a strided slice: XLA fuses the ``[::s, ::s]`` form
+    (plus its consumers) into a serial kCustom gather (~0.3 ms per plane on
+    a 4K block grid, xplane_natural.py), while unit slices of the reshaped
+    (H/s, s, W/s, s) view lower as plain DMA slices. Fenced so the slices
+    stay slices."""
+    if s == 1:
+        return x
+    lead = x.shape[:-2]
+    hgt, wid = x.shape[-2:]
+    hp, wp = -(-hgt // s) * s, -(-wid // s) * s
+    if (hp, wp) != (hgt, wid):
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, hp - hgt), (0, wp - wid)])
+    x = jax.lax.optimization_barrier(
+        x.reshape(*lead, hp // s, s, wp // s, s))
+    nl = len(lead)
+    x = jax.lax.index_in_dim(x, 0, axis=nl + 1, keepdims=False)
+    x = jax.lax.index_in_dim(x, 0, axis=nl + 2, keepdims=False)
+    out_h, out_w = -(-hgt // s), -(-wid // s)
+    return jax.lax.optimization_barrier(x[..., :out_h, :out_w])
 
 
 def build_runs(d_lvl: Decomposition, owned: jnp.ndarray, grid, channels: int,
@@ -566,7 +608,18 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # bits guard rejects most candidates) while halving the coalesce pass
     # (tools/profiling/cap_frac_probe.py); truncation stays observable via
     # overflow_run_blocks/dropped_runs_at_capacity.
-    cap = nb if nb <= 4096 else max(4096, nb // cap_frac)
+    # cap_frac > 1: latency-bounded buffer (nb // cap_frac); cap_frac <= 1:
+    # FULL capacity (no run is ever dropped -- the segment kernel's
+    # empty-window skip keeps its compute content-proportional, but the
+    # buffer gather/scatter/scans still scale with nb: +9-13 ms per 4K,
+    # tools/profiling/cap_full_probe.py). cap_frac < 0 pins an explicit
+    # tiny cap for truncation tests.
+    if cap_frac < 0:
+        cap = min(nb, -cap_frac)
+    elif cap_frac <= 1 or nb <= 4096:
+        cap = nb
+    else:
+        cap = max(4096, nb // cap_frac)
     sort_key = jnp.where(is_run, seg_id, jnp.int32(2**30))
     order = jnp.argsort(sort_key, stable=True)                   # runs first
     sel = order[:cap]                                            # (cap,)
@@ -740,24 +793,38 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
         # perf callers that consume neither planes nor serializer state skip
         # the crushed-factor plane entirely
         lv["q_packed"] = put_plane(lv["q_packed"], q_packed_c)
-    rows_new = put(
-        jnp.concatenate([lv["shifts"], lv["bits"][None],
-                         lv["bpp_block"][None], *lv["decomp"][1:7]], axis=0),
-        jnp.concatenate([shifts_blk, bits_blk[None], bpp_mem[None],
-                         *d_blk[1:7]], axis=0),
-    )
-    lv["shifts"], lv["bits"], lv["bpp_block"] = rows_new[:3], rows_new[3], rows_new[4]
-    eps_new = rows_new[5:]
-    f_new = put(
-        jnp.concatenate([lv["dist"][None], lv["decomp"].avg], axis=0),
-        jnp.concatenate([dist_blk[None], d_blk.avg], axis=0),
-    )
+    if need_q:
+        # planes/serializer callers need the run's refit decomposition
+        # written back (the LTP1 region headers decode with it); perf
+        # callers don't read decomp after coalesce, and the 18 endpoint
+        # rows were most of this scatter stack's assembly+layout cost
+        rows_new = put(
+            jnp.concatenate([lv["shifts"], lv["bits"][None],
+                             lv["bpp_block"][None], *lv["decomp"][1:7]],
+                            axis=0),
+            jnp.concatenate([shifts_blk, bits_blk[None], bpp_mem[None],
+                             *d_blk[1:7]], axis=0),
+        )
+        eps_new = rows_new[5:]
+        f_new = put(
+            jnp.concatenate([lv["dist"][None], lv["decomp"].avg], axis=0),
+            jnp.concatenate([dist_blk[None], d_blk.avg], axis=0),
+        )
+        lv["decomp"] = Decomposition(
+            f_new[1:1 + ch],
+            *(eps_new[ch * k:ch * (k + 1)] for k in range(6))
+        )
+    else:
+        rows_new = put(
+            jnp.concatenate([lv["shifts"], lv["bits"][None],
+                             lv["bpp_block"][None]], axis=0),
+            jnp.concatenate([shifts_blk, bits_blk[None], bpp_mem[None]],
+                            axis=0),
+        )
+        f_new = put(lv["dist"][None], dist_blk[None])
+    lv["shifts"], lv["bits"], lv["bpp_block"] = (
+        rows_new[:3], rows_new[3], rows_new[4])
     lv["dist"] = f_new[0]
-    # the run's refit decomposition, so downstream consumers (the LTP1
-    # serializer's region headers) see the endpoints the run decodes with
-    lv["decomp"] = Decomposition(
-        f_new[1:1 + ch], *(eps_new[ch * k:ch * (k + 1)] for k in range(6))
-    )
 
     applied = jnp.zeros((nb,), bool).at[sel].set(accept)
     region_id = jnp.where(applied, seg_id, jnp.arange(nb, dtype=jnp.int32))
@@ -1193,12 +1260,12 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         big2d = big_rows.reshape(7 * ch, by0, bx0)
         for lvl in range(num_levels):
             grid_l = grids[lvl]
-            owned_ls.append(
-                (owner0.reshape(by0, bx0)[:: 1 << lvl, :: 1 << lvl]
-                 == lvl).reshape(-1)
-            )
             s = 1 << lvl
-            d_ls.append(big2d[:, ::s, ::s].reshape(7 * ch, -1) if lvl
+            owned_ls.append(
+                (_stride_take(owner0.reshape(by0, bx0), s) == lvl
+                 ).reshape(-1)
+            )
+            d_ls.append(_stride_take(big2d, s).reshape(7 * ch, -1) if lvl
                         else big_rows)
         # every level x direction in ONE 27-probe match evaluation
         matches_all = neighbor_pair_matches(d_ls, grids[:num_levels], ch)
@@ -1342,8 +1409,9 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
                         return_state: bool = False,
                         rd_header_bits: int | None = None,
                         fetch_decoded: bool = True,
-                        cap_frac: int = 8,
-                        fused_layout: str = "morton"):
+                        cap_frac: int = 0,
+                        fused_layout: str = "morton",
+                        _auto_first_cap: int | None = None):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -1357,6 +1425,12 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     THIS encode (bitstream.serialize_from_state input) as a second value, so
     writing a stream never re-encodes. ``rd_header_bits`` feeds the RD cut
     the real serialized header cost instead of the reference's estimate.
+    ``cap_frac=0`` (default, fused path) is AUTO run-buffer capacity: the
+    encode runs with the fast latency-bounded buffer and re-encodes once
+    at FULL capacity only when it reports truncated runs -- so no run is
+    ever dropped (the reference's region growth is unbounded,
+    src/limg.cpp:1294-1496) and photo-like content never pays the full
+    buffer's +9-13 ms. Explicit cap_frac >= 1 pins the buffer.
     """
     from .pallas_kernels.encode_merged import MAX_FUSED_LEVELS
 
@@ -1380,11 +1454,31 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     else:
         image = jnp.asarray(image)
     if fused:
+        auto_cap = cap_frac == 0   # "auto": retry at full capacity if the
+        cf = (_auto_first_cap if auto_cap and _auto_first_cap is not None
+              else 8 if auto_cap else cap_frac)
         out = encode_image_merged_fused_device(
             image, cfg, key, num_levels, emit_planes=fetch_planes,
             coalesce=coalesce, return_state=return_state, hw=hw,
-            cap_frac=cap_frac, fused_layout=fused_layout,
+            cap_frac=cf, fused_layout=fused_layout,
         )
+        if auto_cap and coalesce:
+            st = out["coalesce_stats"]
+            truncated = (int(np.asarray(st["overflow_run_blocks"]))
+                         + int(np.asarray(st["dropped_runs_at_capacity"])))
+            if truncated:
+                # run-heavy content hit the latency-bounded run buffer:
+                # re-encode once with FULL capacity (no run ever dropped --
+                # the reference's grower is unbounded, src/limg.cpp:
+                # 1294-1496). Photo-like content never takes this path, so
+                # the default stays fast; the full pass costs +9-13 ms per
+                # 4K (tools/profiling/cap_full_probe.py) and is content-
+                # proportional in the segment kernel itself.
+                out = encode_image_merged_fused_device(
+                    image, cfg, key, num_levels, emit_planes=fetch_planes,
+                    coalesce=coalesce, return_state=return_state, hw=hw,
+                    cap_frac=1, fused_layout=fused_layout,
+                )
     else:
         out = encode_image_merged_device(
             image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,

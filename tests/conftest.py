@@ -88,6 +88,7 @@ def pytest_configure(config):
 _SLOW_MODULES = {
     "test_pallas_kernel",
     "test_merged_fused",
+    "test_natural",
     "test_property",
     "test_reference_oracle",
     "test_sharding",

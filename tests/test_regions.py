@@ -193,6 +193,39 @@ def test_band_coalescing_saves_bits_on_banded_content():
     assert len(np.unique(ids)) < 4
 
 
+@pytest.mark.slow
+def test_auto_capacity_retries_at_full_buffer():
+    """cap_frac=0 (the default) must detect a truncated run buffer and
+    re-encode at FULL capacity: no run is ever dropped (the reference's
+    region growth is unbounded, src/limg.cpp:1294-1496). Uses the explicit
+    tiny-cap override (cap_frac < 0) to force truncation on a small image,
+    then checks the auto path reports none and saves the bits the capped
+    encode left behind."""
+    from limg_tpu.regions import encode_image_merged
+
+    img = np.zeros((48, 128, 4), np.uint8)
+    img[..., 3] = 255
+    for i in range(6):                      # flat 8px bands -> long runs
+        img[i * 8:(i + 1) * 8, :, :3] = [40 + 30 * i, 90, 200 - 20 * i]
+
+    cfg = EncodeConfig(error_factor=100, dithering=False)
+    capped = encode_image_merged(img, cfg, num_levels=2, use_pallas=True,
+                                 fused=True, cap_frac=-8)
+    st = capped["coalesce_stats"]
+    assert st["overflow_run_blocks"] + st["dropped_runs_at_capacity"] > 0
+
+    # _auto_first_cap forces the first attempt onto the same tiny buffer,
+    # so the retry branch itself is exercised (small grids otherwise get
+    # full capacity on the first attempt already)
+    auto = encode_image_merged(img, cfg, num_levels=2, use_pallas=True,
+                               fused=True, cap_frac=0, _auto_first_cap=-8)
+    st = auto["coalesce_stats"]
+    assert st["overflow_run_blocks"] == 0
+    assert st["dropped_runs_at_capacity"] == 0
+    assert auto["n_runs"] >= capped["n_runs"]
+    assert auto["mean_bpp"] <= capped["mean_bpp"] + 1e-6
+
+
 def test_band_coalescing_never_increases_bits():
     """Runs whose refit would extend the factor range (shifted spans of one
     color line) must be rejected by the bits guard."""

@@ -170,6 +170,52 @@ def test_match_pairs_kernel(channels):
     assert np.array_equal(np.asarray(m_j), np.asarray(m_k))
 
 
+@pytest.mark.parametrize("channels", [3, 4])
+def test_match_neighbors_kernel(channels):
+    """The plane-form neighbor-match kernel (roll + halo seams) must equal
+    the flat shifted-slice assembly + match_decomps bit-exactly, including
+    tile seams and non-multiple grid sizes."""
+    from limg_tpu.ops.fit import Decomposition as D
+    from limg_tpu.ops.match import match_decomps
+    from limg_tpu.pallas_kernels.encode_merged import match_neighbors_pallas
+
+    rng = np.random.default_rng(17)
+    gy, gx = 19, 210                     # crosses both tile seams, not %8/128
+    n = gy * gx
+
+    avg = rng.uniform(0, 255, (channels, n)).astype(np.float32)
+    ia_min = rng.integers(-30, 200, (channels, n)).astype(np.float32)
+    rows = [avg, ia_min, ia_min + rng.integers(0, 120, (channels, n))]
+    for lo, hi in ((-40, 60), (-20, 30)):
+        off = rng.integers(lo, -lo, (channels, n)).astype(np.float32)
+        rows += [off, off + rng.integers(0, hi, (channels, n))]
+    # flat-ish patches so both accept paths trigger
+    flat = rng.random(n) < 0.3
+    for r in rows[1:]:
+        r[:, flat] = r[:, flat] // 8 * 8
+    big = jnp.asarray(np.concatenate(rows, axis=0, dtype=np.float32))
+    plane = big.reshape(7 * channels, gy, gx)
+
+    mr, md = match_neighbors_pallas(plane, channels, interpret=True)
+
+    def flat_pairs(sl_a, sl_b):
+        a = np.asarray(plane)[:, sl_a[0], sl_a[1]].reshape(7 * channels, -1)
+        b = np.asarray(plane)[:, sl_b[0], sl_b[1]].reshape(7 * channels, -1)
+        da = D(*(jnp.asarray(a[channels * i:channels * (i + 1)])
+                 for i in range(7)))
+        db = D(*(jnp.asarray(b[channels * i:channels * (i + 1)])
+                 for i in range(7)))
+        m, _ = match_decomps(da, db, channels)
+        return np.asarray(m)
+
+    want_l = flat_pairs((slice(None), slice(1, None)),
+                        (slice(None), slice(0, -1))).reshape(gy, gx - 1)
+    want_u = flat_pairs((slice(1, None), slice(None)),
+                        (slice(0, -1), slice(None))).reshape(gy - 1, gx)
+    assert np.array_equal(np.asarray(mr)[:, :gx - 1], want_l)
+    assert np.array_equal(np.asarray(md)[:gy - 1, :], want_u)
+
+
 def test_coalesce_segments_kernel_path_matches_jnp():
     """The full coalesce engine with use_kernel=True (interpret mode) must
     reproduce the jnp path bit-exactly: acceptance, written-back planes,

@@ -70,10 +70,16 @@ def main():
                     n[meta.name] += 1
                     total += ev.duration_ps
 
+    kern = sum(ps for nm, ps in agg.items()
+               if "custom-call" in nm or "_pallas" in nm or "_natural" in nm)
     print(json.dumps({"layout": fused_layout, "coalesce": coalesce,
-                      "device_ms_per_iter": round(total / 3e9, 3)}))
-    for name, ps in agg.most_common(25):
-        print(f"{ps / 1e9 / 3:7.3f} ms/iter x{n[name] // 3:<4} {name}")
+                      "device_ms_per_iter": round(total / 3e9, 3),
+                      "kernel_ms": round(kern / 3e9, 3),
+                      "glue_ms": round((total - kern) / 3e9, 3)}))
+    top = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    for name, ps in agg.most_common(top):
+        print(f"{ps / 1e9 / 3:7.3f} ms/iter x{n[name] // 3:<4} "
+              f"{name[:160]}")
 
 
 if __name__ == "__main__":

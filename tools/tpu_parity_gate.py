@@ -319,6 +319,32 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
             results[name]["bad_outputs"] = bad
             failures.append(name)
 
+    # the plane-form neighbor-match kernel (coalesce run linking): compiled
+    # vs interpreter on a (7ch, gy, gx) row plane with tile seams
+    from limg_tpu.pallas_kernels.encode_merged import match_neighbors_pallas
+
+    rng7 = np.random.default_rng(47)
+    for ch in (3, 4):
+        gy, gx = 23, 300                  # crosses both seam kinds, not %8/128
+        nmn = gy * gx
+        avg = rng7.uniform(0, 255, (ch, nmn)).astype(np.float32)
+        ia_min = rng7.integers(-30, 200, (ch, nmn)).astype(np.float32)
+        rows_p = [avg, ia_min, ia_min + rng7.integers(0, 120, (ch, nmn))]
+        for lo, hi in ((-40, 60), (-20, 30)):
+            off = rng7.integers(lo, -lo, (ch, nmn)).astype(np.float32)
+            rows_p += [off, off + rng7.integers(0, hi, (ch, nmn))]
+        plane = jnp.asarray(
+            np.concatenate(rows_p, axis=0, dtype=np.float32)
+        ).reshape(7 * ch, gy, gx)
+        a = match_neighbors_pallas(plane, ch, interpret=False)
+        b = match_neighbors_pallas(plane, ch, interpret=True)
+        ok = all(np.array_equal(np.asarray(x), np.asarray(y))
+                 for x, y in zip(a, b))
+        name = f"match_neighbors_ch{ch}"
+        results[name] = {"exact": ok}
+        if not ok:
+            failures.append(name)
+
     # the natural-layout merged kernels (row-major tiles, lane+sublane
     # butterflies, one-hot MXU output compaction): compiled Mosaic vs the
     # Pallas interpreter, including edge-padded (h, w) so the in-kernel
