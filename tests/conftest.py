@@ -91,6 +91,8 @@ _SLOW_MODULES = {
     "test_natural",
     "test_property",
     "test_reference_oracle",
+    "test_regions",
+    "test_segment_kernel",
     "test_sharding",
 }
 

@@ -36,12 +36,16 @@ def run_oracle(image_path: str, error_factor: int, fast: bool):
     return psnr, float(bits.group(1)) if bits else float("nan")
 
 
-def run_reference_blocked(image_path: str, error_factor: int):
-    """Reference blocked/merging CLI (limg_blocked_encode3d_test)."""
+def run_reference_blocked(image_path: str, error_factor: int,
+                          accurate: bool = False):
+    """Reference blocked/merging CLI (limg_blocked_encode3d_test);
+    ``accurate`` adds --accurate-bit-crushing (src/main.cpp:77)."""
+    args = [".refbuild/limg", image_path, "--no-output",
+            "--error-factor", str(error_factor)]
+    if accurate:
+        args.append("--accurate-bit-crushing")
     out = subprocess.run(
-        [".refbuild/limg", image_path, "--no-output",
-         "--error-factor", str(error_factor)],
-        capture_output=True, text=True, check=True,
+        args, capture_output=True, text=True, check=True,
     ).stdout
     psnr = float(re.search(r"PSNR: ([\d.]+) dB", out).group(1))
     bpp = float(re.search(r"Compression Average: ~ *([\d.]+) bits", out).group(1))
@@ -53,8 +57,10 @@ def main():
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
-    do_sweep = "--families-only" not in sys.argv
-    do_families = "--sweep-only" not in sys.argv
+    rd_only = "--rd-only" in sys.argv
+    do_sweep = "--families-only" not in sys.argv and not rd_only
+    do_families = "--sweep-only" not in sys.argv and not rd_only
+    do_rd = (do_families or rd_only) and "--no-rd" not in sys.argv
 
     from PIL import Image
     from tools.make_test_image import make_4k, make_family
@@ -152,8 +158,8 @@ def main():
             "",
             "| family | alpha | ref fixed fast | ref fixed accurate | "
             "limg-tpu fixed ladder | limg-tpu fixed exhaustive | "
-            "ref blocked | limg-tpu merged |",
-            "|---|---|---|---|---|---|---|---|",
+            "ref blocked | ref blocked accurate | limg-tpu merged |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         real_path = "/root/reference/assets/original.png"
         families = ["photo", "smooth", "graphics"]
@@ -182,15 +188,60 @@ def main():
                 of = ours_fixed(img4, cfg)
                 ox = ours_fixed(img4, cfg_x)
                 rb = run_reference_blocked("/tmp/parity_fam.png", 100)
+                rba = run_reference_blocked("/tmp/parity_fam.png", 100,
+                                            accurate=True)
                 om = ours_merged(img4, cfg)
                 line = (
                     "| %s | %s | %.2f / %.3f | %.2f / %.3f | %.2f / %.3f | "
-                    "%.2f / %.3f | %.2f / %.3f | %.2f / %.3f |"
+                    "%.2f / %.3f | %.2f / %.3f | %.2f / %.3f | %.2f / %.3f |"
                     % (fam, "RGBA" if alpha else "RGB",
-                       *rf, *ra, *of, *ox, *rb, *om)
+                       *rf, *ra, *of, *ox, *rb, *rba, *om)
                 )
                 lines.append(line)
                 print(line, flush=True)
+        lines.append("")
+
+    if do_rd:
+        # RD frontier: the merged encoder's rd policy at several lambdas vs
+        # the reference blocked encoder (fast + accurate crush) per family.
+        # Frontier domination = for each reference point some lambda gives
+        # BOTH higher PSNR and lower bpp (or equal on one axis).
+        hh, ww = (216, 384) if small else (1080, 1920)
+        lines += [
+            "## RD frontier at errorFactor=100: merged rd policy vs the "
+            "reference blocked encoder",
+            "",
+            "PSNR dB / total bpp. The rd policy cuts the quadtree with "
+            "bits + lambda*err against the REAL LTP1 header cost "
+            "(regions.py rd_merge_keep); match = the reference-analog "
+            "similarity policy (the default).",
+            "",
+            "| family | ref blocked fast | ref blocked accurate | "
+            "match | rd l=0.003 | rd l=0.01 | rd l=0.03 |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        from limg_tpu.bitstream import region_header_bits
+
+        for fam in ["photo", "smooth", "graphics"]:
+            base = make_family(fam, hh, ww)
+            fh, fw = base.shape[:2]
+            img4 = np.dstack([base, np.full((fh, fw), 255, np.uint8)])
+            Image.fromarray(base, "RGB").save("/tmp/parity_fam.png")
+            cfg = EncodeConfig(error_factor=100)
+            rb = run_reference_blocked("/tmp/parity_fam.png", 100)
+            rba = run_reference_blocked("/tmp/parity_fam.png", 100,
+                                        accurate=True)
+            pts = [ours_merged(img4, cfg)]
+            for lam in (0.003, 0.01, 0.03):
+                out = encode_image_merged(
+                    img4, cfg, fetch_planes=False, merge_policy="rd",
+                    rd_lambda=lam,
+                    rd_header_bits=region_header_bits(cfg.channels))
+                pts.append((out["psnr"], out["mean_bpp"]))
+            line = ("| %s | %.2f / %.3f | %.2f / %.3f | " % (fam, *rb, *rba)
+                    + " | ".join("%.2f / %.3f" % p for p in pts) + " |")
+            lines.append(line)
+            print(line, flush=True)
         lines.append("")
 
     report = "\n".join(lines) + "\n"
