@@ -42,42 +42,64 @@ def _make_kernel(n_sum: int, rows: int, steps: int):
     def kernel(xl_ref, xc_ref, xr_ref, sl_ref, sc_ref, sr_ref, out_ref):
         pid = pl.program_id(0)
         last = pl.num_programs(0) - 1
-        seg_l = jnp.where(pid == 0, _SENT, sl_ref[...])
-        seg_r = jnp.where(pid == last, _SENT, sr_ref[...])
-        seg = jnp.concatenate([seg_l, sc_ref[...], seg_r], axis=-1)
-        x = jnp.concatenate([xl_ref[...], xc_ref[...], xr_ref[...]], axis=-1)
-        w = x.shape[-1]
 
-        if n_sum == rows:
-            comb = jnp.add
-        elif n_sum == 0:
-            comb = jnp.maximum
-        else:
-            is_sum = lax.broadcasted_iota(jnp.int32, (rows, 1), 0) < n_sum
+        # Content-adaptive cost (full-capacity coalesce buffers are mostly
+        # zeros past the run prefix): a window whose center AND halos are
+        # all zero scans to exactly zero -- sums trivially; max rows
+        # because callers only feed ints or non-negative f32 (a -0.0 max
+        # row could differ bitwise; no coalesce row can carry one). The
+        # halo check matters: a segment straddling the tile edge can give
+        # a zero-valued center member a nonzero segment total.
+        has_work = (jnp.any(xl_ref[...] != 0) | jnp.any(xc_ref[...] != 0)
+                    | jnp.any(xr_ref[...] != 0))
 
-            def comb(a, b):
-                return jnp.where(is_sum, a + b, jnp.maximum(a, b))
+        @pl.when(jnp.logical_not(has_work))
+        def _zero_fill():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        fwd = x
-        bwd = x
-        d = 1
-        for _ in range(steps):
-            prev_seg = pltpu.roll(seg, shift=d, axis=1)
-            fwd = jnp.where(prev_seg == seg,
-                            comb(fwd, pltpu.roll(fwd, shift=d, axis=1)), fwd)
-            nxt_seg = pltpu.roll(seg, shift=w - d, axis=1)
-            bwd = jnp.where(nxt_seg == seg,
-                            comb(bwd, pltpu.roll(bwd, shift=w - d, axis=1)),
-                            bwd)
-            d *= 2
+        @pl.when(has_work)
+        def _body():
+            seg_l = jnp.where(pid == 0, _SENT, sl_ref[...])
+            seg_r = jnp.where(pid == last, _SENT, sr_ref[...])
+            seg = jnp.concatenate([seg_l, sc_ref[...], seg_r], axis=-1)
+            x = jnp.concatenate(
+                [xl_ref[...], xc_ref[...], xr_ref[...]], axis=-1)
+            w = x.shape[-1]
 
-        if n_sum == rows:
-            res = fwd + bwd - x
-        elif n_sum == 0:
-            res = jnp.maximum(fwd, bwd)
-        else:
-            res = jnp.where(is_sum, fwd + bwd - x, jnp.maximum(fwd, bwd))
-        out_ref[...] = res[:, _HALO:_HALO + _TILE]
+            if n_sum == rows:
+                comb = jnp.add
+            elif n_sum == 0:
+                comb = jnp.maximum
+            else:
+                is_sum = lax.broadcasted_iota(
+                    jnp.int32, (rows, 1), 0) < n_sum
+
+                def comb(a, b):
+                    return jnp.where(is_sum, a + b, jnp.maximum(a, b))
+
+            fwd = x
+            bwd = x
+            d = 1
+            for _ in range(steps):
+                prev_seg = pltpu.roll(seg, shift=d, axis=1)
+                fwd = jnp.where(
+                    prev_seg == seg,
+                    comb(fwd, pltpu.roll(fwd, shift=d, axis=1)), fwd)
+                nxt_seg = pltpu.roll(seg, shift=w - d, axis=1)
+                bwd = jnp.where(
+                    nxt_seg == seg,
+                    comb(bwd, pltpu.roll(bwd, shift=w - d, axis=1)),
+                    bwd)
+                d *= 2
+
+            if n_sum == rows:
+                res = fwd + bwd - x
+            elif n_sum == 0:
+                res = jnp.maximum(fwd, bwd)
+            else:
+                res = jnp.where(is_sum, fwd + bwd - x,
+                                jnp.maximum(fwd, bwd))
+            out_ref[...] = res[:, _HALO:_HALO + _TILE]
 
     return kernel
 

@@ -163,6 +163,11 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
             else:
                 x = rng2.integers(0, 1 << 20, size=(rows, n)).astype(np.int32)
                 init = np.int32(0)
+            if n > 4096:
+                # zero tail: exercises the kernel's empty-window skip (the
+                # full-capacity coalesce buffer shape) -- outputs must stay
+                # bit-identical to the jnp chain's zeros
+                x[:, n // 2:] = 0
             a = np.asarray(seg_mixed_all_jnp(
                 jnp.asarray(x), jnp.asarray(seg), n_sum, init
             ))
