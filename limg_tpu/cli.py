@@ -17,6 +17,9 @@ statistical perf evaluation (src/main.cpp:268-324).
 Flag mapping vs the reference:
 - --error-factor N        same knob (default 100)
 - --accurate-bit-crushing crush_mode="exhaustive" (vs default "ladder")
+- --fast-coalesce         latency-bounded run buffer (skip the
+                          full-capacity retry the auto default performs
+                          when runs were truncated)
 - --single-thread         accepted for parity; a no-op on TPU (parallelism
                           is the device, not a thread pool)
 - --fixed-grid            use the no-merging encoder (limg_encode3d_test
@@ -52,7 +55,7 @@ def _parse_args(argv):
         write_output=True, error_factor=100, accurate=False, fixed_grid=False,
         count=1, files=[], source=None, list_mode=False, use_pallas=None,
         diagnose=False, merge_policy="match", num_factors=3,
-        write_ltp1=None, decode_ltp1=None,
+        write_ltp1=None, decode_ltp1=None, cap_frac=0,
     )
     if not argv:
         print(__doc__)
@@ -88,6 +91,10 @@ def _parse_args(argv):
             opts["diagnose"] = True
         elif a == "--rd-merge":
             opts["merge_policy"] = "rd"
+        elif a == "--fast-coalesce":
+            # latency-bounded run buffer (NB/8), no full-capacity retry;
+            # default is auto capacity (no run ever dropped)
+            opts["cap_frac"] = 8
         elif a == "--write-ltp1":
             i += 1
             opts["write_ltp1"] = argv[i]
@@ -176,10 +183,12 @@ def main(argv=None):
         out, ser_state = encode_image_merged(
             image, cfg, use_pallas=opts["use_pallas"],
             merge_policy=opts["merge_policy"], return_state=True,
+            cap_frac=opts["cap_frac"],
         )
     else:
         out = encode_image_merged(image, cfg, use_pallas=opts["use_pallas"],
-                                  merge_policy=opts["merge_policy"])
+                                  merge_policy=opts["merge_policy"],
+                                  cap_frac=opts["cap_frac"])
     elapsed = time.perf_counter() - before
 
     print("limg_tpu encode completed.")

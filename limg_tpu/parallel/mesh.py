@@ -149,6 +149,11 @@ def encode_corpus_sharded_merged(images, cfg: EncodeConfig,
     pipeline (quadtree merge + run/rectangle coalescing) instead of the
     fixed grid; per-image encodes are embarrassingly parallel across chips
     and the corpus-mean PSNR is an on-device psum.
+
+    Run-buffer capacity is the latency-bounded default (cap_frac=8): the
+    host-side auto full-capacity retry of encode_image_merged cannot run
+    per image inside shard_map; corpora needing unbounded capacity should
+    encode per image through the host API.
     """
     from ..regions import encode_image_merged_fused_device
 
