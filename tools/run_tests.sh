@@ -11,8 +11,21 @@
 set -u
 cd "$(dirname "$0")/.."
 fail=0
-for m in tests/test_*.py; do
+# explicit test paths run just those modules (still one process each);
+# other args (-m, -k, ...) pass through to every module's pytest
+mods=()
+pass=()
+for a in "$@"; do
+  case "$a" in
+    tests/test_*.py*) mods+=("$a") ;;
+    *) pass+=("$a") ;;
+  esac
+done
+if [ ${#mods[@]} -eq 0 ]; then
+  mods=(tests/test_*.py)
+fi
+for m in "${mods[@]}"; do
   echo "=== ${m}"
-  python -m pytest "${m}" -q "$@" || fail=1
+  python -m pytest "${m}" -q ${pass[@]+"${pass[@]}"} || fail=1
 done
 exit ${fail}
