@@ -132,15 +132,19 @@ def blockify_packed(image: jnp.ndarray, block: int = BLOCK_SIZE,
         px = image.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
         return px, _block_mask(h, w, g, block), g
     if image.ndim == 2:
+        # pre-packed words; hw gives the real extent when the plane is
+        # already padded to a finer grid (e.g. the 8-padded plane of a
+        # 16/32-px level encode) so the mask marks only real pixels
         packed2d = image
-        h, w = image.shape
+        h, w = hw if hw is not None else image.shape
     else:
         h, w, c = image.shape
         assert c == 4, "blockify_packed requires an RGBA image"
         packed2d = lax.bitcast_convert_type(image, jnp.int32)    # (H, W)
     g = grid_for(h, w, block)
-    padded = jnp.pad(packed2d, ((0, g.blocks_y * block - h),
-                                (0, g.blocks_x * block - w)))
+    padded = jnp.pad(
+        packed2d, ((0, g.blocks_y * block - packed2d.shape[0]),
+                   (0, g.blocks_x * block - packed2d.shape[1])))
     tiles = padded.reshape(g.blocks_y, block, g.blocks_x, block)
     px = tiles.transpose(1, 3, 0, 2).reshape(block * block, g.num_blocks)
     return px, _block_mask(h, w, g, block), g

@@ -95,15 +95,19 @@ def _owner_level(alive, grids, num_levels: int):
     return owner  # (NB0,)
 
 
-def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key):
+def _encode_level_pallas(image, bsz, cfg: EncodeConfig, key,
+                         hw: tuple | None = None):
     """One dense level through the fused Pallas kernel.
 
     Everything stays in the kernel's packed/per-region forms: the decode
     plane as a packed-u32 word plane, per-region distortion and the fit avg
-    straight from the kernel (no full-image re-derivation)."""
+    straight from the kernel (no full-image re-derivation). ``image`` may
+    be a pre-packed 2-D word plane (possibly 8-padded; pass ``hw``)."""
     from .pallas_kernels.encode_fixed import encode_blocks_pallas, pack_channels
 
-    if image.shape[2] == 4:
+    if image.ndim == 2:
+        packed, mask, grid = layout.blockify_packed(image, bsz, hw=hw)
+    elif image.shape[2] == 4:
         packed, mask, grid = layout.blockify_packed(image, bsz)
     else:
         px, mask, grid = layout.blockify(image, bsz)
@@ -556,7 +560,10 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
                       cfg: EncodeConfig, key, merge_policy: str,
                       rd_lambda, cap_frac: int = 8,
                       header_bits: int | None = None, mpos=None,
-                      use_kernel: bool | None = None):
+                      use_kernel: bool | None = None,
+                      cap: int | None = None,
+                      old_header_included: bool = False,
+                      embed_rows=None):
     """Segment refit/crush engine shared by the per-level and the unified
     multi-level coalesce: re-encodes the ``is_run`` blocks grouped by
     ``seg_id`` (each segment's leader flat index) and writes accepted
@@ -567,8 +574,10 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     (``packed_blk``, ``mask``, ``lv["dec_packed"]``, ``lv["q_packed"]``)
     are in MORTON lane order (NBP lanes) and ``mpos[b]`` is block b's
     Morton position -- the fused driver keeps those planes Morton-resident
-    so each pays exactly one relayout for the whole encode. All other rows
-    stay in original block order. ``mask`` may be None for 8-aligned
+    so each pays exactly one relayout for the whole encode; ``embed_rows``
+    (required with mpos) maps (K, NB) block rows to the planes' (K, NBP)
+    lane order for the gather-based write-back (a pure reshape/transpose
+    for the Morton layout). All other rows stay in original block order. ``mask`` may be None for 8-aligned
     images (every real block fully valid): the member mask is then derived
     from the run selector alone and no mask plane is ever materialized.
 
@@ -577,7 +586,18 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     accelerator backends. Bit-identical to the jnp composition on
     shifts/endpoints/decode (tests/test_segment_kernel.py); dither noise is
     the TPU PRNG instead of threefry (statistical parity, like the fixed
-    kernel)."""
+    kernel).
+
+    Run-buffer capacity (static; governs every buffer-width cost below):
+    ``cap`` (explicit member capacity, clamped to NB) wins when given.
+    Otherwise ``cap_frac`` selects it -- NOTE the value semantics at THIS
+    layer: cap_frac > 1 is the latency-bounded buffer (NB // cap_frac,
+    floor 4096); cap_frac <= 1 (INCLUDING 0) is FULL capacity;
+    cap_frac < 0 pins the tiny test cap min(NB, -cap_frac). The host-API
+    "cap_frac=0 means auto-sized" convention lives one layer up in
+    encode_image_merged, which resolves it to an explicit ``cap`` before
+    calling here -- passing 0 directly to this function or to
+    encode_image_merged_fused_device silently means FULL capacity."""
     from jax import lax
     from .ops.segments import (
         fit_segments, find_shifts_segments, seg_mixed_all,
@@ -614,7 +634,9 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # buffer gather/scatter/scans still scale with nb: +9-13 ms per 4K,
     # tools/profiling/cap_full_probe.py). cap_frac < 0 pins an explicit
     # tiny cap for truncation tests.
-    if cap_frac < 0:
+    if cap is not None:
+        cap = min(nb, cap)
+    elif cap_frac < 0:
         cap = min(nb, -cap_frac)
     elif cap_frac <= 1 or nb <= 4096:
         cap = nb
@@ -635,9 +657,13 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     # Morton-plane addresses of the selected blocks (== sel when the planes
     # are in original order)
     sel_p = rows_i[4] if mpos is not None else sel
-    if header_bits is not None:
-        # lv["bits"] was computed with the static header estimate; swap in
-        # the real header so old and new costs use the same units
+    if header_bits is not None and not old_header_included:
+        # lv["bits"] was computed with ONE static header estimate per member
+        # (the dense per-level drivers: every member block is its own
+        # region); swap in the real header so old and new costs use the
+        # same units. Callers whose lv["bits"] already carry the real
+        # header at region leaders only (the fused RD driver) pass
+        # old_header_included=True to skip this per-member adjustment.
         old_bits_sel = old_bits_sel + (header_bits - static_block_bits(ch))
     old_dist_sel = lax.bitcast_convert_type(rows_i[3], jnp.float32)
     packed_c = packed_blk[:, sel_p]                              # (P, cap)
@@ -768,65 +794,96 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     else:
         accept = ok_c & (bits_mem <= old_bits_mem)
 
-    # -- scatter accepted run results back to the full block arrays ---------
-    # single-row scatters lower to ~1 ms serial loops on TPU; the small
-    # per-block rows (shifts/bits/bpp/endpoints, dist/avg) are combined into
-    # ONE i32 and ONE f32 multi-row scatter, and the two big pixel planes
-    # stay as their own multi-row scatters. Rejected columns route to an
-    # out-of-range index and scatter-drop -- writing ONLY accepted columns
-    # avoids gathering the dst columns first (the where(accept, src,
-    # dst[..., idx]) form paid one full multi-row GATHER per scatter,
-    # ~0.65 ms per 4K across the three write-backs).
-    def put_at(idx, width):
-        safe = jnp.where(accept, idx, jnp.int32(width))
-
-        def put(dst, src_c):
-            return dst.at[..., safe].set(src_c, mode="drop")
-        return put
-
-    put = put_at(sel, nb)
-    put_plane = put_at(sel_p, packed_blk.shape[-1])  # Morton planes when mpos
-
+    # -- write accepted run results back to the full block arrays -----------
+    # TWO value-identical strategies, chosen by buffer width (static):
+    #
+    # WIDE buffers (cap >= nb/2, the auto path's run-heavy buckets): merge
+    # by GATHER -- every destination column b takes src[:, rank(b)] where
+    # rank = b's position in the sorted compaction order (the inverse
+    # permutation, one extra ~0.1 ms argsort). The scatters this replaces
+    # lowered to ~1.3 ms serial column loops EACH at full capacity (xplane
+    # on a 4K: 3.3 ms across the three write-backs) while the equivalent
+    # multi-row gathers run at ~0.2 ms; measured finish-stage device time
+    # 12.45 -> 10.87 ms (tools/profiling/xplane_auto_cap.py).
+    #
+    # NARROW buffers (latency-bounded caps): scatter only the accepted
+    # columns -- the gather merge always pays full nb-width src+dst+out
+    # traffic (~1.5 ms on the 33 MB planes) while the scatter's serial-loop
+    # cost scales with cap (~0.4 ms at nb/8); measured merged8 12.05
+    # (scatter) vs 13.57 (gather).
+    use_gather = 2 * cap >= nb
     lv = dict(lv)
-    lv["dec_packed"] = put_plane(lv["dec_packed"], dec_packed_c)
-    if need_q:
-        # perf callers that consume neither planes nor serializer state skip
-        # the crushed-factor plane entirely
-        lv["q_packed"] = put_plane(lv["q_packed"], q_packed_c)
     if need_q:
         # planes/serializer callers need the run's refit decomposition
         # written back (the LTP1 region headers decode with it); perf
         # callers don't read decomp after coalesce, and the 18 endpoint
-        # rows were most of this scatter stack's assembly+layout cost
-        rows_new = put(
-            jnp.concatenate([lv["shifts"], lv["bits"][None],
-                             lv["bpp_block"][None], *lv["decomp"][1:7]],
-                            axis=0),
-            jnp.concatenate([shifts_blk, bits_blk[None], bpp_mem[None],
-                             *d_blk[1:7]], axis=0),
-        )
+        # rows were most of this write-back's assembly+layout cost
+        src_i = jnp.concatenate([shifts_blk, bits_blk[None],
+                                 bpp_mem[None], *d_blk[1:7]], axis=0)
+        dst_i = jnp.concatenate([lv["shifts"], lv["bits"][None],
+                                 lv["bpp_block"][None], *lv["decomp"][1:7]],
+                                axis=0)
+        src_f = jnp.concatenate([dist_blk[None], d_blk.avg], axis=0)
+        dst_f = jnp.concatenate([lv["dist"][None], lv["decomp"].avg], axis=0)
+    else:
+        src_i = jnp.concatenate([shifts_blk, bits_blk[None],
+                                 bpp_mem[None]], axis=0)
+        dst_i = jnp.concatenate([lv["shifts"], lv["bits"][None],
+                                 lv["bpp_block"][None]], axis=0)
+        src_f = dist_blk[None]
+        dst_f = lv["dist"][None]
+
+    if use_gather:
+        inv = jnp.argsort(order)                             # (nb,) rank
+        took = inv < cap
+        inv_c = jnp.minimum(inv, jnp.int32(cap - 1))
+        acc_i = accept.astype(jnp.int32)[None]               # (1, cap)
+        gi = jnp.concatenate([acc_i.astype(dst_i.dtype),
+                              src_i.astype(dst_i.dtype)], axis=0)[:, inv_c]
+        applied = took & (gi[0] > 0)                         # accept per block
+        rows_new = jnp.where(applied[None], gi[1:], dst_i)
+        f_new = jnp.where(applied[None], src_f[:, inv_c], dst_f)
+        # big pixel planes: rank + accept travel to the planes' own lane
+        # order (identity for plain block layout; the Morton embed is a pure
+        # reshape/transpose whose grid-padding lanes zero-fill -> keep dst)
+        pr = jnp.stack([inv_c, applied.astype(jnp.int32)])   # (2, nb)
+        if embed_rows is not None:
+            pr = embed_rows(pr)
+        elif mpos is not None:
+            raise ValueError("coalesce_segments: mpos without embed_rows")
+        p_idx, p_ok = pr[0], (pr[1] > 0)[None]
+
+        def merge_plane(dst, src_c):
+            return jnp.where(p_ok, src_c[:, p_idx], dst)
+    else:
+        def put_at(idx, width):
+            safe = jnp.where(accept, idx, jnp.int32(width))
+
+            def put(dst, src_c):
+                return dst.at[..., safe].set(src_c, mode="drop")
+            return put
+
+        put = put_at(sel, nb)
+        merge_plane = put_at(sel_p, packed_blk.shape[-1])
+        rows_new = put(dst_i, src_i.astype(dst_i.dtype))
+        f_new = put(dst_f, src_f)
+        applied = jnp.zeros((nb,), bool).at[sel].set(accept)
+
+    if need_q:
         eps_new = rows_new[5:]
-        f_new = put(
-            jnp.concatenate([lv["dist"][None], lv["decomp"].avg], axis=0),
-            jnp.concatenate([dist_blk[None], d_blk.avg], axis=0),
-        )
         lv["decomp"] = Decomposition(
             f_new[1:1 + ch],
             *(eps_new[ch * k:ch * (k + 1)] for k in range(6))
         )
-    else:
-        rows_new = put(
-            jnp.concatenate([lv["shifts"], lv["bits"][None],
-                             lv["bpp_block"][None]], axis=0),
-            jnp.concatenate([shifts_blk, bits_blk[None], bpp_mem[None]],
-                            axis=0),
-        )
-        f_new = put(lv["dist"][None], dist_blk[None])
     lv["shifts"], lv["bits"], lv["bpp_block"] = (
         rows_new[:3], rows_new[3], rows_new[4])
     lv["dist"] = f_new[0]
 
-    applied = jnp.zeros((nb,), bool).at[sel].set(accept)
+    lv["dec_packed"] = merge_plane(lv["dec_packed"], dec_packed_c)
+    if need_q:
+        # perf callers that consume neither planes nor serializer state skip
+        # the crushed-factor plane entirely
+        lv["q_packed"] = merge_plane(lv["q_packed"], q_packed_c)
     region_id = jnp.where(applied, seg_id, jnp.arange(nb, dtype=jnp.int32))
     n_runs = (is_start & accept).sum()
     stats = dict(
@@ -841,7 +898,7 @@ def coalesce_segments(packed_blk, mask, seg_id, is_run, lv: dict,
     jax.jit,
     static_argnames=("cfg", "num_levels", "use_pallas", "emit_planes",
                      "merge_policy", "coalesce", "return_state",
-                     "rd_header_bits"),
+                     "rd_header_bits", "cap_frac"),
 )
 def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
                                dither_key: jax.Array, num_levels: int = 3,
@@ -850,7 +907,8 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
                                rd_lambda: float = 0.01,
                                coalesce: bool = True,
                                return_state: bool = False,
-                               rd_header_bits: int | None = None):
+                               rd_header_bits: int | None = None,
+                               cap_frac: int = 8):
     """Merged encode on device. Returns (decoded u8 (H,W,4), per-pixel planes).
 
     num_levels=3 -> regions of 8x8, 16x16, 32x32 pixels. ``use_pallas`` runs
@@ -900,6 +958,7 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
              stats_l) = coalesce_level_bands(
                 image, levels[lvl], grids[lvl], owned_l, cfg, ckey,
                 BLOCK_SIZE << lvl, merge_policy, rd_lambda, header_bits=hdr,
+                cap_frac=cap_frac,
             )
             n_runs = n_runs + n_runs_l
             coalesce_stats = {
@@ -1038,35 +1097,98 @@ def encode_image_merged_device(image: jnp.ndarray, cfg: EncodeConfig,
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "num_levels", "emit_planes", "coalesce",
-                     "return_state", "hw", "cap_frac", "fused_layout"),
-)
-def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
-                                     dither_key: jax.Array, num_levels: int = 3,
-                                     emit_planes: bool = True,
-                                     coalesce: bool = True,
-                                     return_state: bool = False,
-                                     hw: tuple | None = None,
-                                     cap_frac: int = 8,
-                                     fused_layout: str = "morton"):
-    """Merged encode via the fused kernels (match policy).
+def _build_runs_multilevel(owner0, avg0, ep_rows, lead0, grids, grid0,
+                           num_levels: int, ch: int):
+    """Multi-level run building shared by the fused match and RD drivers:
+    link matching neighbor REGIONS at every level (level-L linking runs on
+    tiny level-L rows), producing the segment map for ONE unified refit/
+    crush pass at level-0 block granularity.
 
-    Functionally equivalent to ``encode_image_merged_device(...,
-    use_pallas=True, merge_policy="match")`` but ~2.5x faster: every level's
-    fit runs in ONE kernel pass (butterfly group reductions) and the
-    expensive crush/dither/decode runs exactly once per pixel at each
-    block's owner level, instead of densely at every level.
+    Every level's match rows come from the OWNER-SELECTED rows: build_runs
+    only links cells owned at that level, where the selected rows equal
+    that level's own fit, so each level is a cheap 2-D strided slice -- the
+    per-level leader-lane Morton restores and their serial ::4^l lane
+    gathers this replaced measured ~0.9 ms per 4K
+    (tools/profiling/xplane_detail.py). ``avg0`` is f32, so the stacked
+    rows are already the f32 field-order array neighbor_pair_matches
+    consumes (no per-level Decomposition re-concat, ~0.7 ms of update-slice
+    glue per 4K). Returns (seg0, is_run0) at level-0 block granularity."""
+    from .ops.segments import SEG_CAP
 
-    ``fused_layout`` selects the kernel layout: "natural" keeps every
-    kernel in the image's own row-major layout (pallas_kernels/
-    encode_natural.py -- zero Morton relayouts, rows come out in row-major
-    block order); "morton" is the Z-order lane pipeline
-    (pallas_kernels/encode_merged.py). Reduction-tree order differs from
-    the dense path either way, so parity is owner-map/PSNR/bpp-level, not
-    bitwise.
-    """
+    by0, bx0 = grid0.blocks_y, grid0.blocks_x
+    nb = grid0.num_blocks
+    seg0 = lead0
+    is_run0 = jnp.zeros((nb,), bool)
+    d_ls, owned_ls = [], []
+    big_rows = jnp.concatenate(
+        [avg0.astype(jnp.float32)]
+        + [r.astype(jnp.float32) for r in ep_rows], axis=0)      # (7ch, nb)
+    big2d = big_rows.reshape(7 * ch, by0, bx0)
+    for lvl in range(num_levels):
+        s = 1 << lvl
+        owned_ls.append(
+            (_stride_take(owner0.reshape(by0, bx0), s) == lvl
+             ).reshape(-1)
+        )
+        d_ls.append(_stride_take(big2d, s).reshape(7 * ch, -1) if lvl
+                    else big_rows)
+    # every level x direction in ONE 27-probe match evaluation
+    matches_all = neighbor_pair_matches(d_ls, grids[:num_levels], ch)
+    for lvl in range(num_levels):
+        grid_l = grids[lvl]
+        owned_l = owned_ls[lvl]
+        # d_lvl is unused when matches are precomputed
+        seg_l, len_l = build_runs(None, owned_l, grid_l, ch,
+                                  max_members=SEG_CAP >> (2 * lvl),
+                                  matches=matches_all[lvl])
+        is_run_l = owned_l & (len_l >= 2)
+        if lvl == 0:
+            take = is_run_l & (owner0 == 0)
+            seg0 = jnp.where(take, seg_l, seg0)
+            is_run0 = is_run0 | take
+        else:
+            bxl = grid_l.blocks_x
+            lead0_of = (((seg_l // bxl) << lvl) * bx0
+                        + ((seg_l % bxl) << lvl))
+            take = (owner0 == lvl) & _bcast0(is_run_l, grid_l, grid0, lvl)
+            seg0 = jnp.where(
+                take, _bcast0(lead0_of, grid_l, grid0, lvl), seg0
+            )
+            is_run0 = is_run0 | take
+    return seg0, is_run0
+
+
+def _coalesce_cap(cap_frac: int, nb: int) -> int:
+    """Resolve the driver's ``cap_frac`` knob to a concrete run-buffer
+    member capacity (the value semantics are documented on
+    coalesce_segments): < 0 pins min(nb, -cap_frac); <= 1 or a small grid
+    is FULL capacity; > 1 is the latency-bounded nb // cap_frac."""
+    if cap_frac < 0:
+        return min(nb, -cap_frac)
+    if cap_frac <= 1 or nb <= 4096:
+        return nb
+    return max(4096, nb // cap_frac)
+
+
+def _fused_hw(image, hw):
+    """Concrete (h, w) for any of the fused driver's input forms."""
+    if hw is not None:
+        return hw
+    if image.ndim == 4:                    # (by, 8, bx, 8) host word view
+        return image.shape[0] * 8, image.shape[2] * 8
+    return int(image.shape[0]), int(image.shape[1])
+
+
+def _fused_pre_body(image, cfg: EncodeConfig, dither_key, num_levels: int,
+                    coalesce: bool, need_q: bool, hw, fused_layout: str):
+    """Stages A-E of the fused merged encode (trace-time body): input
+    relayout, per-level fit + match + owner select in one kernel, owner-level
+    crush, and run building. Returns the state dict consumed by
+    _fused_finish_body. The split exists so the host can pick the coalesce
+    buffer capacity from the measured run count (state["n_run_blocks"])
+    and run the coalesce stage exactly once -- the old auto-capacity path
+    re-ran fit/match/crush a second time whenever the fast buffer reported
+    truncation (2.9x the pinned-cap latency on run-heavy 4Ks)."""
     from .pallas_kernels.encode_fixed import KernelSpec
     from .pallas_kernels import encode_merged as em
     from .pallas_kernels import encode_natural as en
@@ -1101,7 +1223,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         jnp.int32(cfg.max_block_bit_crush_error),
     ])
     interpret = jax.default_backend() == "cpu"
-    need_q0 = emit_planes or return_state
+    need_q0 = need_q
     header = static_block_bits(ch)
     from .ops.segments import SEG_CAP
 
@@ -1236,74 +1358,81 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
         count=cnt0,
     )
 
-    run_region_id = None
-    n_runs = jnp.zeros((), jnp.int32)
-    run_applied = jnp.zeros((nb,), bool)
-    coalesce_stats = {}
+    seg0 = is_run0 = None
+    px_plane = mask_plane = None
     if coalesce:
-        # multi-level run building: link matching neighbor REGIONS at every
-        # level (level-L linking runs on tiny level-L rows), then ONE
-        # unified segment refit/crush pass at level-0 block granularity
-        seg0 = lead0
-        is_run0 = jnp.zeros((nb,), bool)
-        d_ls, owned_ls = [], []
-        # every level's match rows come from the restored OWNER-SELECTED
-        # rows: build_runs only links cells owned at that level, where the
-        # selected rows equal that level's own fit, so each level is a cheap
-        # 2-D strided slice -- the per-level leader-lane Morton restores and
-        # their serial ::4^l lane gathers this replaces measured ~0.9 ms
-        # per 4K (tools/profiling/xplane_detail.py)
-        # avg0 is f32, so the stacked rows are already the f32 field-order
-        # array neighbor_pair_matches consumes -- no per-level Decomposition
-        # re-concat (that assembly cost ~0.7 ms of update-slice glue per 4K)
-        big_rows = jnp.concatenate([avg0, *ep_rows], axis=0)     # (7ch, nb)
-        big2d = big_rows.reshape(7 * ch, by0, bx0)
-        for lvl in range(num_levels):
-            grid_l = grids[lvl]
-            s = 1 << lvl
-            owned_ls.append(
-                (_stride_take(owner0.reshape(by0, bx0), s) == lvl
-                 ).reshape(-1)
-            )
-            d_ls.append(_stride_take(big2d, s).reshape(7 * ch, -1) if lvl
-                        else big_rows)
-        # every level x direction in ONE 27-probe match evaluation
-        matches_all = neighbor_pair_matches(d_ls, grids[:num_levels], ch)
-        for lvl in range(num_levels):
-            grid_l = grids[lvl]
-            owned_l = owned_ls[lvl]
-            # d_lvl is unused when matches are precomputed
-            seg_l, len_l = build_runs(None, owned_l, grid_l, ch,
-                                      max_members=SEG_CAP >> (2 * lvl),
-                                      matches=matches_all[lvl])
-            is_run_l = owned_l & (len_l >= 2)
-            if lvl == 0:
-                take = is_run_l & (owner0 == 0)
-                seg0 = jnp.where(take, seg_l, seg0)
-                is_run0 = is_run0 | take
-            else:
-                bxl = grid_l.blocks_x
-                lead0_of = (((seg_l // bxl) << lvl) * bx0
-                            + ((seg_l % bxl) << lvl))
-                take = (owner0 == lvl) & _bcast0(is_run_l, grid_l, grid0, lvl)
-                seg0 = jnp.where(
-                    take, _bcast0(lead0_of, grid_l, grid0, lvl), seg0
-                )
-                is_run0 = is_run0 | take
-        ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
+        seg0, is_run0 = _build_runs_multilevel(
+            owner0, avg0, ep_rows, lead0, grids, grid0, num_levels, ch)
+        # the planes the coalesce stage will gather from (stage F consumes
+        # them via the state dict; nothing in this stage reads them)
         if use_natural:
             # natural planes are addressed by plain block index: one fenced
             # blockify transpose of the input (no Morton embed, no mpos
             # indirection, and the member mask comes from the run selector /
             # an elementwise natural-order plane for edge-padded images)
-            packed_blk = en.nat_blockify(p2, by0, bx0)
-            mask_blk = (None if aligned
-                        else en.natural_mask_plane(h, w, by0, bx0))
-            (lv0, run_applied, run_region_id, n_runs,
-             coalesce_stats) = coalesce_segments(
-                packed_blk, mask_blk, seg0, is_run0, lv0, cfg, ckey,
-                "match", 0.0, mpos=None, cap_frac=cap_frac,
-            )
+            px_plane = en.nat_blockify(p2, by0, bx0)
+            mask_plane = (None if aligned
+                          else en.natural_mask_plane(h, w, by0, bx0))
+        else:
+            px_plane = packed_m
+            mask_plane = mask_m
+
+    return dict(
+        lv0=lv0, px=px_plane, mask=mask_plane, seg0=seg0, is_run0=is_run0,
+        # the host-side auto-capacity decision reads this ONE scalar: with
+        # cap >= n_run_blocks the sorted compaction keeps every run block,
+        # so truncation is impossible by construction
+        n_run_blocks=(is_run0.sum().astype(jnp.int32) if coalesce
+                      else jnp.zeros((), jnp.int32)),
+        owner0=owner0, lead0=lead0, stats_row=stats_row,
+        merge_stats=merge_stats,
+        dec_nat=(dec_nat if use_natural and not coalesce else None),
+    ), (h, w)
+
+
+def _fused_finish_body(state, cfg: EncodeConfig, dither_key, num_levels: int,
+                       emit_planes: bool, coalesce: bool, return_state: bool,
+                       hw, fused_layout: str, cap: int,
+                       merge_policy: str = "match", rd_lambda=0.0,
+                       header_bits: int | None = None):
+    """Stages F-G of the fused merged encode: the coalesce pass at an
+    explicit run-buffer member capacity, then stats + plane/serializer
+    emission. ``fused_layout="block"`` means the state's pixel planes are
+    in plain row-major block order, like "natural" (the fused RD driver's
+    layout); "morton" planes are addressed through the Morton position
+    row. For merge_policy="rd" the state's lv0 bits already carry the real
+    header at region leaders (old_header_included)."""
+    from .pallas_kernels import encode_merged as em
+    from .pallas_kernels import encode_natural as en
+
+    ch = cfg.channels
+    h, w = hw
+    grid0 = layout.grid_for(h, w, BLOCK_SIZE)
+    nb = grid0.num_blocks
+    by0, bx0 = grid0.blocks_y, grid0.blocks_x
+    use_natural = (fused_layout == "natural"
+                   and num_levels <= en.MAX_NATURAL_LEVELS)
+    plain_layout = use_natural or fused_layout == "block"
+    need_q0 = emit_planes or return_state
+
+    lv0 = dict(state["lv0"])
+    owner0, lead0 = state["owner0"], state["lead0"]
+    stats_row = state["stats_row"]
+    merge_stats = state["merge_stats"]
+    cnt0 = lv0["count"]
+    dec_nat = state["dec_nat"]
+
+    def to_orig(x):
+        return em.morton_restore_rows(x, by0, bx0, num_levels)
+
+    run_region_id = None
+    n_runs = jnp.zeros((), jnp.int32)
+    run_applied = jnp.zeros((nb,), bool)
+    coalesce_stats = {}
+    if coalesce:
+        ckey = jax.random.fold_in(dither_key, 0x0C0A1E5C)
+        if plain_layout:
+            mpos = None
         else:
             # Morton position of each original block: the coalesce engine
             # maps its selected block indices through this row to address
@@ -1313,11 +1442,16 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
             valid_p = perm_m >= 0
             mpos_np = np.zeros(nb, np.int32)
             mpos_np[perm_m[valid_p]] = np.nonzero(valid_p)[0].astype(np.int32)
-            (lv0, run_applied, run_region_id, n_runs,
-             coalesce_stats) = coalesce_segments(
-                packed_m, mask_m, seg0, is_run0, lv0, cfg, ckey, "match", 0.0,
-                mpos=jnp.asarray(mpos_np), cap_frac=cap_frac,
-            )
+            mpos = jnp.asarray(mpos_np)
+        (lv0, run_applied, run_region_id, n_runs,
+         coalesce_stats) = coalesce_segments(
+            state["px"], state["mask"], state["seg0"], state["is_run0"],
+            lv0, cfg, ckey, merge_policy, rd_lambda, mpos=mpos, cap=cap,
+            header_bits=header_bits,
+            old_header_included=merge_policy == "rd",
+            embed_rows=(None if plain_layout else (
+                lambda r: em.morton_embed_rows(r, by0, bx0, num_levels))),
+        )
 
     # ---- stats: flat level-0 sums (region values broadcast per block) ------
     s_eff0 = jnp.minimum(lv0["shifts"], 8)
@@ -1338,7 +1472,7 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     # crops for free, then unpacks channels with a numpy byte view); the
     # (H, W) form would pay a second 33 MB T(8,128) retile pass on device
     # (reshape.215 in tools/profiling/xplane_detail.py, ~0.8 ms per 4K).
-    if use_natural:
+    if plain_layout:
         if lv0["dec_packed"] is not None:
             # coalesce scattered run decodes into the blockified plane
             dec_plane = en.nat_unblockify(lv0["dec_packed"], by0, bx0)
@@ -1402,6 +1536,291 @@ def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "emit_planes", "coalesce",
+                     "return_state", "hw", "cap_frac", "fused_layout"),
+)
+def encode_image_merged_fused_device(image: jnp.ndarray, cfg: EncodeConfig,
+                                     dither_key: jax.Array, num_levels: int = 3,
+                                     emit_planes: bool = True,
+                                     coalesce: bool = True,
+                                     return_state: bool = False,
+                                     hw: tuple | None = None,
+                                     cap_frac: int = 8,
+                                     fused_layout: str = "morton"):
+    """Merged encode via the fused kernels (match policy), as ONE jitted
+    graph (stage bodies _fused_pre_body + _fused_finish_body traced
+    together -- identical to the pre-split single function).
+
+    Functionally equivalent to ``encode_image_merged_device(...,
+    use_pallas=True, merge_policy="match")`` but ~2.5x faster: every level's
+    fit runs in ONE kernel pass (butterfly group reductions) and the
+    expensive crush/dither/decode runs exactly once per pixel at each
+    block's owner level, instead of densely at every level.
+
+    ``cap_frac`` picks the coalesce run-buffer capacity DIRECTLY at this
+    layer (no auto-sizing): 0 and 1 both mean FULL capacity here; the
+    "0 = auto-sized buffer" convention lives in encode_image_merged, which
+    resolves it against the measured run count via the split entry points
+    (fused_merged_pre / fused_merged_finish) before any capacity is fixed.
+
+    ``fused_layout`` selects the kernel layout: "natural" keeps every
+    kernel in the image's own row-major layout (pallas_kernels/
+    encode_natural.py -- zero Morton relayouts, rows come out in row-major
+    block order); "morton" is the Z-order lane pipeline
+    (pallas_kernels/encode_merged.py). Reduction-tree order differs from
+    the dense path either way, so parity is owner-map/PSNR/bpp-level, not
+    bitwise.
+    """
+    need_q = emit_planes or return_state
+    state, hw_real = _fused_pre_body(image, cfg, dither_key, num_levels,
+                                     coalesce, need_q, hw, fused_layout)
+    nb = layout.grid_for(*hw_real, BLOCK_SIZE).num_blocks
+    return _fused_finish_body(state, cfg, dither_key, num_levels, emit_planes,
+                              coalesce, return_state, hw_real, fused_layout,
+                              _coalesce_cap(cap_frac, nb))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "need_q", "hw", "fused_layout"),
+)
+def fused_merged_pre(image: jnp.ndarray, cfg: EncodeConfig,
+                     dither_key: jax.Array, num_levels: int = 3,
+                     need_q: bool = True, hw: tuple | None = None,
+                     fused_layout: str = "morton"):
+    """Stages A-E of the fused merged encode as their own jitted graph
+    (coalesce run building included). Pair with fused_merged_finish; the
+    state dict's ``n_run_blocks`` scalar is the host's input for sizing the
+    coalesce buffer exactly (encode_image_merged's cap_frac=0 auto mode)."""
+    state, _ = _fused_pre_body(image, cfg, dither_key, num_levels,
+                               True, need_q, hw, fused_layout)
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "emit_planes", "return_state",
+                     "hw", "fused_layout", "cap"),
+)
+def fused_merged_finish(state, cfg: EncodeConfig, dither_key: jax.Array,
+                        num_levels: int, emit_planes: bool,
+                        return_state: bool, hw: tuple, fused_layout: str,
+                        cap: int):
+    """Stages F-G (coalesce at an explicit member capacity + emission) on a
+    fused_merged_pre state. Bit-identical to the single-call function at
+    the same capacity: the stage boundary only materializes arrays that the
+    kernels materialized anyway."""
+    return _fused_finish_body(state, cfg, dither_key, num_levels, emit_planes,
+                              True, return_state, hw, fused_layout, cap)
+
+
+def _rd_pre_body(image, cfg: EncodeConfig, dither_key, num_levels: int,
+                 need_q: bool, hw, rd_lambda, header_bits: int | None):
+    """Stages A-E of the fused RD merged encode (trace-time body).
+
+    The RD cut needs every level's real bits and distortion
+    (src/limg.cpp:1629-1636 bits estimate, :2455-2491 metric), so unlike the
+    match policy it cannot crush once at the owner level: each level runs
+    through the fused fixed-grid kernel (fit+crush+decode in ONE launch per
+    level), the quadtree cut is a tiny row DP (rd_merge_keep), and the
+    owner's planes are selected at level-0 block granularity with pure
+    relayouts -- no (H, W)-image-level selects, no Morton embed. This is
+    the device-speed replacement for the dense encode_image_merged_device
+    RD path, whose giant glue graph could not be compiled for 4K on the
+    tunneled TPU (STATUS r4 item 7)."""
+    ch = cfg.channels
+    h, w = _fused_hw(image, hw)
+    grid0 = layout.grid_for(h, w, BLOCK_SIZE)
+    nb = grid0.num_blocks
+    by0, bx0 = grid0.blocks_y, grid0.blocks_x
+    aligned = h % BLOCK_SIZE == 0 and w % BLOCK_SIZE == 0
+
+    # normalize input to the 8-padded (by0*8, bx0*8) word plane (every
+    # level blockifies from this one plane; the 4-D host view reshape is
+    # free)
+    if image.ndim == 4:
+        p2 = image.reshape(by0 * 8, bx0 * 8)
+    else:
+        if image.ndim == 2:
+            packed2d = image
+        elif image.shape[2] == 4:
+            packed2d = jax.lax.bitcast_convert_type(image, jnp.int32)
+        else:
+            im = image.astype(jnp.int32)
+            packed2d = im[..., 0] | (im[..., 1] << 8) | (im[..., 2] << 16)
+        pad_y, pad_x = by0 * 8 - h, bx0 * 8 - w
+        p2 = (jnp.pad(packed2d, ((0, pad_y), (0, pad_x)))
+              if (pad_y or pad_x) else packed2d)
+
+    keys = jax.random.split(dither_key, num_levels)
+    grids, levels = [], []
+    for lvl in range(num_levels):
+        lv = _encode_level_pallas(p2, BLOCK_SIZE << lvl, cfg, keys[lvl],
+                                  hw=(h, w))
+        grids.append(lv.pop("grid"))
+        levels.append(lv)
+
+    hdr = static_block_bits(ch) if header_bits is None else header_bits
+    keep, merge_stats = rd_merge_keep(levels, grids, num_levels, rd_lambda,
+                                      float(hdr - static_block_bits(ch)))
+    owner0 = _owner_level(keep, grids, num_levels)                # (NB0,)
+
+    # ---- owner-selected rows/planes at level-0 block granularity ----------
+    # per-level rows broadcast down with repeat+crop (_bcast0, no gathers);
+    # the per-level pixel planes relayout level-L blocks into their level-0
+    # sub-blocks with pure reshape/transposes (_q_level_to_block0)
+    yy0, xx0 = np.mgrid[0:by0, 0:bx0]
+    shifts0 = levels[0]["shifts"]
+    eps0 = list(levels[0]["decomp"][1:7])
+    avg0 = levels[0]["decomp"].avg
+    q0 = levels[0]["q_packed"] if need_q else None
+    dec0 = levels[0]["dec_packed"]
+    dist0 = levels[0]["dist"]
+    cnt0 = levels[0]["count"]
+    rbits0 = levels[0]["bits"]
+    rcnt0 = cnt0
+    for lvl in range(1, num_levels):
+        sel = (owner0 == lvl)[None]                               # (1, NB0)
+        glvl = grids[lvl]
+
+        def b0(v, lvl=lvl, glvl=glvl):
+            return _bcast0(v, glvl, grid0, lvl)
+
+        shifts0 = jnp.where(sel, b0(levels[lvl]["shifts"]), shifts0)
+        eps0 = [jnp.where(sel, b0(e), o)
+                for e, o in zip(levels[lvl]["decomp"][1:7], eps0)]
+        avg0 = jnp.where(sel, b0(levels[lvl]["decomp"].avg), avg0)
+        if need_q:
+            q0 = jnp.where(sel, _q_level_to_block0(
+                levels[lvl]["q_packed"], glvl, grid0, lvl), q0)
+        dec0 = jnp.where(sel, _q_level_to_block0(
+            levels[lvl]["dec_packed"], glvl, grid0, lvl), dec0)
+        # region totals park on the region's leader level-0 block so that
+        # level-0 segment sums reproduce region sums exactly (runs always
+        # contain whole regions)
+        lmask = jnp.asarray(
+            ((yy0 % (1 << lvl) == 0) & (xx0 % (1 << lvl) == 0)).reshape(-1))
+        dist0 = jnp.where(sel[0],
+                          jnp.where(lmask, b0(levels[lvl]["dist"]), 0.0),
+                          dist0)
+        rbits0 = jnp.where(sel[0], b0(levels[lvl]["bits"]), rbits0)
+        rcnt0 = jnp.where(sel[0], b0(levels[lvl]["count"]), rcnt0)
+
+    lead0 = jnp.asarray((yy0 * bx0 + xx0).reshape(-1).astype(np.int32))
+    for lvl in range(1, num_levels):
+        lp = ((((yy0 >> lvl) << lvl) * bx0)
+              + ((xx0 >> lvl) << lvl)).reshape(-1).astype(np.int32)
+        lead0 = jnp.where(owner0 == lvl, jnp.asarray(lp), lead0)
+    is_leader0 = lead0 == jnp.arange(nb, dtype=jnp.int32)
+    s_eff0 = jnp.minimum(shifts0, 8)
+    fac_bits0 = ((8 - s_eff0) * cnt0[None]).sum(axis=0)
+    # the real header at region leaders ONLY (coalesce_segments is told via
+    # old_header_included that no per-member adjustment applies)
+    bits0 = fac_bits0 + hdr * is_leader0.astype(jnp.int32)
+    # per-block bpp = its owning REGION's bpp (region bits over region
+    # pixels), mirroring the dense path's per-region bpp_block broadcast
+    rbits0 = rbits0 + (hdr - static_block_bits(ch))
+    bpp0 = jnp.minimum(
+        0xFF, (rbits0 + rcnt0 // 2) // jnp.maximum(rcnt0, 1))
+
+    # the fused stats row, synthesized: bit l marks a level-l-aligned
+    # level-0 leader whose owner merged to >= l (popcount = region count)
+    stats_row = jnp.zeros((nb,), jnp.int32)
+    for lvl in range(num_levels):
+        lmask = jnp.asarray(
+            ((yy0 % (1 << lvl) == 0) & (xx0 % (1 << lvl) == 0)).reshape(-1))
+        stats_row = stats_row | jnp.where(
+            lmask & (owner0 >= lvl), jnp.int32(1 << lvl), 0)
+
+    lv0 = dict(
+        decomp=Decomposition(avg0, *eps0), shifts=shifts0,
+        q_packed=q0, dec_packed=dec0, dist=dist0, bits=bits0,
+        bpp_block=bpp0, count=cnt0,
+    )
+    seg0, is_run0 = _build_runs_multilevel(
+        owner0, avg0, eps0, lead0, grids, grid0, num_levels, ch)
+    px_plane, mask0, _ = layout.blockify_packed(p2, BLOCK_SIZE, hw=(h, w))
+    return dict(
+        lv0=lv0, px=px_plane, mask=None if aligned else mask0.astype(bool),
+        seg0=seg0, is_run0=is_run0,
+        n_run_blocks=is_run0.sum().astype(jnp.int32),
+        owner0=owner0, lead0=lead0, stats_row=stats_row,
+        merge_stats=merge_stats, dec_nat=None,
+    ), (h, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "emit_planes", "coalesce",
+                     "return_state", "hw", "cap_frac", "header_bits"),
+)
+def encode_image_merged_rd_device(image: jnp.ndarray, cfg: EncodeConfig,
+                                  dither_key: jax.Array, rd_lambda,
+                                  num_levels: int = 3,
+                                  emit_planes: bool = True,
+                                  coalesce: bool = True,
+                                  return_state: bool = False,
+                                  hw: tuple | None = None,
+                                  cap_frac: int = 8,
+                                  header_bits: int | None = None):
+    """RD-policy merged encode on the fused kernel path, as ONE jitted
+    graph. Per-level fit+crush through the fused fixed kernel, RD quadtree
+    cut (rd_merge_keep), owner select at block granularity, unified
+    coalesce with the RD acceptance guard. ``header_bits`` feeds the real
+    serialized region header so the cut optimizes actual file size."""
+    need_q = emit_planes or return_state
+    state, hw_real = _rd_pre_body(image, cfg, dither_key, num_levels,
+                                  need_q, hw, rd_lambda, header_bits)
+    nb = layout.grid_for(*hw_real, BLOCK_SIZE).num_blocks
+    return _fused_finish_body(state, cfg, dither_key, num_levels, emit_planes,
+                              coalesce, return_state, hw_real, "block",
+                              _coalesce_cap(cap_frac, nb), merge_policy="rd",
+                              rd_lambda=rd_lambda, header_bits=header_bits)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "need_q", "hw", "header_bits"),
+)
+def fused_rd_pre(image: jnp.ndarray, cfg: EncodeConfig,
+                 dither_key: jax.Array, rd_lambda, num_levels: int = 3,
+                 need_q: bool = True, hw: tuple | None = None,
+                 header_bits: int | None = None):
+    """Stages A-E of the fused RD merged encode as their own jitted graph
+    (see fused_merged_pre for the split rationale)."""
+    state, _ = _rd_pre_body(image, cfg, dither_key, num_levels, need_q, hw,
+                            rd_lambda, header_bits)
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_levels", "emit_planes", "return_state",
+                     "hw", "cap", "header_bits"),
+)
+def fused_rd_finish(state, cfg: EncodeConfig, dither_key: jax.Array,
+                    rd_lambda, num_levels: int, emit_planes: bool,
+                    return_state: bool, hw: tuple, cap: int,
+                    header_bits: int | None = None):
+    """Stages F-G of the fused RD merged encode on a fused_rd_pre state."""
+    return _fused_finish_body(state, cfg, dither_key, num_levels, emit_planes,
+                              True, return_state, hw, "block", cap,
+                              merge_policy="rd", rd_lambda=rd_lambda,
+                              header_bits=header_bits)
+
+
+def auto_run_capacity(n_run_blocks: int, nb: int) -> int:
+    """Bucketed coalesce capacity for the measured run count: the smallest
+    power-of-two bucket (floor 4096) holding every run block, clamped to
+    NB. Buckets bound recompilation (one finish graph per bucket) while the
+    buffer-width costs stay within 2x of minimal."""
+    if n_run_blocks <= 0:
+        return min(nb, 4096)
+    return min(nb, max(4096, 1 << (int(n_run_blocks) - 1).bit_length()))
+
+
 def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int = 3,
                         fetch_planes: bool = True, use_pallas: bool | None = None,
                         merge_policy: str = "match", rd_lambda: float = 0.01,
@@ -1410,8 +1829,7 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
                         rd_header_bits: int | None = None,
                         fetch_decoded: bool = True,
                         cap_frac: int = 0,
-                        fused_layout: str = "morton",
-                        _auto_first_cap: int | None = None):
+                        fused_layout: str = "morton"):
     """Host-facing merged encode. Output surface mirrors
     limg_blocked_encode3d_info (src/limg.h:39-44) + stats.
 
@@ -1425,12 +1843,15 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     THIS encode (bitstream.serialize_from_state input) as a second value, so
     writing a stream never re-encodes. ``rd_header_bits`` feeds the RD cut
     the real serialized header cost instead of the reference's estimate.
-    ``cap_frac=0`` (default, fused path) is AUTO run-buffer capacity: the
-    encode runs with the fast latency-bounded buffer and re-encodes once
-    at FULL capacity only when it reports truncated runs -- so no run is
-    ever dropped (the reference's region growth is unbounded,
-    src/limg.cpp:1294-1496) and photo-like content never pays the full
-    buffer's +9-13 ms. Explicit cap_frac >= 1 pins the buffer.
+    ``cap_frac=0`` (default, fused path) is AUTO run-buffer capacity, sized
+    in ONE pass: the fit/match/crush/run-building stages run once
+    (fused_merged_pre), the host reads the measured run-block count, and
+    the coalesce stage runs once with the smallest buffer bucket that holds
+    every run block -- so no run is ever dropped (the reference's region
+    growth is unbounded, src/limg.cpp:1294-1496) and photo-like content
+    pays only the smallest bucket. Explicit cap_frac >= 1 pins the buffer
+    (single fused graph, may truncate -- truncation stays observable via
+    coalesce_stats).
     """
     from .pallas_kernels.encode_merged import MAX_FUSED_LEVELS
 
@@ -1438,7 +1859,7 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if fused is None:
-        fused = (use_pallas and merge_policy == "match"
+        fused = (use_pallas and merge_policy in ("match", "rd")
                  and 2 <= num_levels <= MAX_FUSED_LEVELS)
     hw = None
     if (fused and isinstance(image, np.ndarray)
@@ -1454,36 +1875,63 @@ def encode_image_merged(image, cfg: EncodeConfig, seed: int = 0, num_levels: int
     else:
         image = jnp.asarray(image)
     if fused:
-        auto_cap = cap_frac == 0   # "auto": retry at full capacity if the
-        cf = (_auto_first_cap if auto_cap and _auto_first_cap is not None
-              else 8 if auto_cap else cap_frac)
-        out = encode_image_merged_fused_device(
-            image, cfg, key, num_levels, emit_planes=fetch_planes,
-            coalesce=coalesce, return_state=return_state, hw=hw,
-            cap_frac=cf, fused_layout=fused_layout,
-        )
-        if auto_cap and coalesce:
-            st = out["coalesce_stats"]
-            truncated = (int(np.asarray(st["overflow_run_blocks"]))
-                         + int(np.asarray(st["dropped_runs_at_capacity"])))
-            if truncated:
-                # run-heavy content hit the latency-bounded run buffer:
-                # re-encode once with FULL capacity (no run ever dropped --
-                # the reference's grower is unbounded, src/limg.cpp:
-                # 1294-1496). Photo-like content never takes this path, so
-                # the default stays fast; the full pass costs +9-13 ms per
-                # 4K (tools/profiling/cap_full_probe.py) and is content-
-                # proportional in the segment kernel itself.
-                out = encode_image_merged_fused_device(
-                    image, cfg, key, num_levels, emit_planes=fetch_planes,
-                    coalesce=coalesce, return_state=return_state, hw=hw,
-                    cap_frac=1, fused_layout=fused_layout,
+        auto_cap = cap_frac == 0 and coalesce
+        rd = merge_policy == "rd"
+        lam = jnp.float32(rd_lambda)
+        if auto_cap:
+            # auto capacity in ONE pass: run stages A-E once, read the
+            # measured run-block count, size the coalesce buffer to hold
+            # EVERY run block, and run the coalesce stage once. Photo-like
+            # content lands in the smallest bucket (cheaper than the old
+            # latency-bounded default); run-heavy content pays the wide
+            # buffer exactly once instead of the old full re-encode retry
+            # (which cost 2.9x the pinned-cap latency on the bench 4K).
+            hw_real = _fused_hw(image, hw)
+            need_q = fetch_planes or return_state
+            if rd:
+                state = fused_rd_pre(image, cfg, key, lam, num_levels,
+                                     need_q=need_q, hw=hw,
+                                     header_bits=rd_header_bits)
+            else:
+                state = fused_merged_pre(image, cfg, key, num_levels,
+                                         need_q=need_q, hw=hw,
+                                         fused_layout=fused_layout)
+            n_run = int(np.asarray(state["n_run_blocks"]))
+            nb = layout.grid_for(*hw_real, BLOCK_SIZE).num_blocks
+            cap = auto_run_capacity(n_run, nb)
+            if rd:
+                out = fused_rd_finish(
+                    state, cfg, key, lam, num_levels, fetch_planes,
+                    return_state, hw_real, cap, header_bits=rd_header_bits,
                 )
+            else:
+                out = fused_merged_finish(
+                    state, cfg, key, num_levels, fetch_planes, return_state,
+                    hw_real, fused_layout, cap,
+                )
+        elif rd:
+            out = encode_image_merged_rd_device(
+                image, cfg, key, lam, num_levels, emit_planes=fetch_planes,
+                coalesce=coalesce, return_state=return_state, hw=hw,
+                cap_frac=cap_frac if cap_frac != 0 else 1,
+                header_bits=rd_header_bits,
+            )
+        else:
+            out = encode_image_merged_fused_device(
+                image, cfg, key, num_levels, emit_planes=fetch_planes,
+                coalesce=coalesce, return_state=return_state, hw=hw,
+                cap_frac=cap_frac if cap_frac != 0 else 1,
+                fused_layout=fused_layout,
+            )
     else:
+        # the dense path has no split auto mode: cap_frac=0 resolves to FULL
+        # capacity per level (no run ever dropped, matching the fused
+        # default's invariant at a latency cost on big grids)
         out = encode_image_merged_device(
             image, cfg, key, num_levels, use_pallas, emit_planes=fetch_planes,
             merge_policy=merge_policy, rd_lambda=rd_lambda, coalesce=coalesce,
             return_state=return_state, rd_header_bits=rd_header_bits,
+            cap_frac=1 if cap_frac == 0 else cap_frac,
         )
     from .ops.error import max_possible_error
 

@@ -194,13 +194,12 @@ def test_band_coalescing_saves_bits_on_banded_content():
 
 
 @pytest.mark.slow
-def test_auto_capacity_retries_at_full_buffer():
-    """cap_frac=0 (the default) must detect a truncated run buffer and
-    re-encode at FULL capacity: no run is ever dropped (the reference's
-    region growth is unbounded, src/limg.cpp:1294-1496). Uses the explicit
-    tiny-cap override (cap_frac < 0) to force truncation on a small image,
-    then checks the auto path reports none and saves the bits the capped
-    encode left behind."""
+def test_auto_capacity_never_truncates():
+    """cap_frac=0 (the default) sizes the coalesce buffer from the measured
+    run count in ONE pass: no run is ever dropped (the reference's region
+    growth is unbounded, src/limg.cpp:1294-1496). A pinned tiny cap
+    (cap_frac < 0) must still truncate AND report it; the auto path must
+    report none and save the bits the capped encode left behind."""
     from limg_tpu.regions import encode_image_merged
 
     img = np.zeros((48, 128, 4), np.uint8)
@@ -214,16 +213,38 @@ def test_auto_capacity_retries_at_full_buffer():
     st = capped["coalesce_stats"]
     assert st["overflow_run_blocks"] + st["dropped_runs_at_capacity"] > 0
 
-    # _auto_first_cap forces the first attempt onto the same tiny buffer,
-    # so the retry branch itself is exercised (small grids otherwise get
-    # full capacity on the first attempt already)
     auto = encode_image_merged(img, cfg, num_levels=2, use_pallas=True,
-                               fused=True, cap_frac=0, _auto_first_cap=-8)
+                               fused=True, cap_frac=0)
     st = auto["coalesce_stats"]
     assert st["overflow_run_blocks"] == 0
     assert st["dropped_runs_at_capacity"] == 0
     assert auto["n_runs"] >= capped["n_runs"]
     assert auto["mean_bpp"] <= capped["mean_bpp"] + 1e-6
+
+    # the split pre/finish pair at the same capacity must reproduce the
+    # single fused graph exactly (the stage boundary only materializes
+    # arrays the kernels materialized anyway)
+    full = encode_image_merged(img, cfg, num_levels=2, use_pallas=True,
+                               fused=True, cap_frac=1)
+    assert auto["n_runs"] == full["n_runs"]
+    assert np.array_equal(auto["decoded"], full["decoded"])
+
+
+def test_auto_run_capacity_buckets():
+    """The auto buffer bucket always holds every run block, floors at 4096,
+    clamps to NB, and quantizes to powers of two (bounded recompiles)."""
+    from limg_tpu.regions import auto_run_capacity
+
+    nb = 129600                              # 4K level-0 block count
+    assert auto_run_capacity(0, nb) == 4096
+    assert auto_run_capacity(1, nb) == 4096
+    assert auto_run_capacity(4096, nb) == 4096
+    assert auto_run_capacity(4097, nb) == 8192
+    assert auto_run_capacity(90000, nb) == nb        # next pow2 > nb clamps
+    assert auto_run_capacity(10**9, nb) == nb
+    for n in (0, 5, 5000, 70000):
+        assert auto_run_capacity(n, nb) >= min(n, nb)
+    assert auto_run_capacity(500, 1000) == 1000      # tiny grids: full
 
 
 def test_band_coalescing_never_increases_bits():

@@ -402,6 +402,49 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
             bad = [k for k, v in checks.items() if not v]
             results[name]["bad_outputs"] = bad
             failures.append(name)
+
+    # the fused RD driver on the real device: per-level kernels are already
+    # bit-gated above; this checks the DRIVER composition (RD DP cut, owner
+    # select relayouts, unified RD coalesce) against the dense RD path on
+    # the same compiled kernels -- geometry differs only in the coalesce
+    # pass structure, so quality must agree tightly
+    from limg_tpu.regions import (
+        encode_image_merged_device, encode_image_merged_rd_device,
+    )
+    from limg_tpu.ops.error import max_possible_error
+    import jax
+
+    rng8 = np.random.default_rng(53)
+    h, w = 64, 96
+    img = rng8.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    img[:24, :, :3] = [40, 90, 200]
+    img[40:, 48:, :3] = [210, 60, 120]
+    img[..., 3] = 255
+    cfg = EncodeConfig(error_factor=100, crush_mode="ladder", dithering=False)
+    key = jax.random.PRNGKey(0)
+    img_j = jnp.asarray(img)
+
+    def quality(out):
+        mse = float(out["total_err"]) / (h * w)
+        psnr = 10.0 * np.log10(max_possible_error(3) / max(mse, 1e-12))
+        return psnr, float(out["mean_bpp"])
+
+    dense = encode_image_merged_device(
+        img_j, cfg, key, 3, use_pallas=True, emit_planes=False,
+        merge_policy="rd", rd_lambda=0.01)
+    fused_rd = encode_image_merged_rd_device(
+        img_j, cfg, key, jnp.float32(0.01), 3, emit_planes=False)
+    (pd, bd), (pf, bf) = quality(dense), quality(fused_rd)
+    checks = {
+        "psnr_close": bool(abs(pd - pf) < 0.5),
+        "bpp_close": bool(abs(bd - bf) < 0.3),
+    }
+    results["rd_fused_device"] = {
+        **checks, "dense": [round(pd, 3), round(bd, 4)],
+        "fused": [round(pf, 3), round(bf, 4)],
+    }
+    if not all(checks.values()):
+        failures.append("rd_fused_device")
     return results, failures
 
 
