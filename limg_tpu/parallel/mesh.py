@@ -140,22 +140,29 @@ def encode_corpus_sharded(images, cfg: EncodeConfig, n_devices: int | None = Non
 
 def encode_corpus_sharded_merged(images, cfg: EncodeConfig,
                                  n_devices: int | None = None, seed: int = 0,
-                                 num_levels: int = 3, coalesce: bool = True):
+                                 num_levels: int = 3, coalesce: bool = True,
+                                 use_pallas: bool = True):
     """Corpus encode with the DEFAULT (merged/blocked-analog) encoder
     sharded over a device mesh.
 
     Same contract as encode_corpus_sharded (same-shape (N, H, W, C) batch, N
-    divisible by the mesh), but every image runs the fused Morton merged
-    pipeline (quadtree merge + run/rectangle coalescing) instead of the
-    fixed grid; per-image encodes are embarrassingly parallel across chips
-    and the corpus-mean PSNR is an on-device psum.
+    divisible by the mesh), but every image runs the merged pipeline
+    (quadtree merge + run/rectangle coalescing) instead of the fixed grid;
+    per-image encodes are embarrassingly parallel across chips and the
+    corpus-mean PSNR is an on-device psum. ``use_pallas=False`` selects the
+    dense jnp merged path (threefry dithering) -- the configuration a CPU
+    mesh can run at the DEFAULT config, since the fused kernels'
+    pltpu-PRNG dither has no interpret-mode lowering.
 
-    Run-buffer capacity is the latency-bounded default (cap_frac=8): the
-    host-side auto full-capacity retry of encode_image_merged cannot run
-    per image inside shard_map; corpora needing unbounded capacity should
+    Run-buffer capacity inside shard_map is the fused path's
+    latency-bounded default (the host-side auto-capacity decision cannot
+    run per image inside shard_map); small grids get full capacity either
+    way, and corpora needing unbounded capacity on big images should
     encode per image through the host API.
     """
-    from ..regions import encode_image_merged_fused_device
+    from ..regions import (
+        encode_image_merged_device, encode_image_merged_fused_device,
+    )
 
     mesh = make_mesh(n_devices)
     images = jnp.asarray(images)
@@ -171,9 +178,16 @@ def encode_corpus_sharded_merged(images, cfg: EncodeConfig,
     def shard_fn(imgs, ks):
         def one(args):
             im, k = args
-            out = encode_image_merged_fused_device(
-                im, cfg, k, num_levels, emit_planes=False, coalesce=coalesce
-            )
+            if use_pallas:
+                out = encode_image_merged_fused_device(
+                    im, cfg, k, num_levels, emit_planes=False,
+                    coalesce=coalesce,
+                )
+            else:
+                out = encode_image_merged_device(
+                    im, cfg, k, num_levels, use_pallas=False,
+                    emit_planes=False, coalesce=coalesce,
+                )
             npx = im.shape[0] * im.shape[1]
             mse = out["total_err"] / npx
             psnr = 10.0 * jnp.log10(
