@@ -27,6 +27,10 @@ BASELINE_MPXS = CPU_SINGLE_CORE_MPXS * EST_MULTICORE_SCALE
 
 def main():
     import os
+
+    # the xplane device-busy details need the pure-python protobuf parser;
+    # must be set before protobuf first loads
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     import jax
 
     jax.config.update(
@@ -84,34 +88,57 @@ def main():
     # compare across rounds, while absolute ms swing with pool load.
     ok = True
     try:
-        from limg_tpu.regions import encode_image_merged_fused_device
+        from limg_tpu.regions import (
+            auto_run_capacity, encode_image_merged_fused_device,
+            fused_merged_pre, fused_merged_finish,
+        )
+        from limg_tpu.utils.timing import device_busy_ms
 
         key = jax.random.PRNGKey(0)
+        nb = layout.grid_for(h, w, 8).num_blocks
         fm = lambda: encode_image_merged_fused_device(
             img, cfg, key, 3, emit_planes=False, coalesce=True
         )["decoded_words"]
-        # the API DEFAULT (cap_frac=0 auto) re-encodes at FULL run-buffer
-        # capacity when the fast pass reports truncated runs; this 4K's
-        # smooth regions DO trigger it, so the default-path cost is
-        # fast + full -- timed as its own lane so the artifact cannot
-        # hide the default's cost behind the pinned-cap number
-        out_probe = encode_image_merged_fused_device(
-            img, cfg, key, 3, emit_planes=False, coalesce=True)
-        trunc = int(np.asarray(
-            out_probe["coalesce_stats"]["overflow_run_blocks"])) + int(
-            np.asarray(out_probe["coalesce_stats"]["dropped_runs_at_capacity"]))
         fm_full = lambda: encode_image_merged_fused_device(
             img, cfg, key, 3, emit_planes=False, coalesce=True, cap_frac=1
         )["decoded_words"]
+
+        # the API DEFAULT (cap_frac=0 auto): ONE pre pass (fit/match/crush/
+        # run building), a host read of the run count, ONE coalesce pass at
+        # the bucketed capacity that holds every run block. This lane pays
+        # an extra dispatch round-trip mid-encode (the capacity decision),
+        # which pipelined single-graph lanes don't -- the device_busy
+        # details below are the contention/dispatch-free comparison.
+        def fm_auto():
+            state = fused_merged_pre(img, cfg, key, 3, need_q=False,
+                                     hw=(h, w), fused_layout="morton")
+            cap = auto_run_capacity(
+                int(np.asarray(state["n_run_blocks"])), nb)
+            return fused_merged_finish(state, cfg, key, 3, False, False,
+                                       (h, w), "morton", cap)["decoded_words"]
+
+        # flagship merged encoder on the RGBA 4K (4ch fit/match/crush)
+        fm_rgba = lambda: encode_image_merged_fused_device(
+            img_a, cfg_a, key, 3, emit_planes=False, coalesce=True
+        )["decoded_words"]
+
+        st_probe = fused_merged_pre(img, cfg, key, 3, need_q=False,
+                                    hw=(h, w), fused_layout="morton")
+        n_run = int(np.asarray(st_probe["n_run_blocks"]))
+        auto_cap = auto_run_capacity(n_run, nb)
+
         samples, rtt = time_device_fns(
             {"fixed": fixed_fn, "rgba": rgba_fn, "merged": fm,
-             "merged_full": fm_full},
-            rounds=10, inner=5,
+             "merged_full": fm_full, "merged_auto": fm_auto,
+             "merged_rgba": fm_rgba},
+            rounds=10, inner=4,
         )
         sf = np.asarray(samples["fixed"])
         sa = np.asarray(samples["rgba"])
         sm = np.asarray(samples["merged"])
         smf = np.asarray(samples["merged_full"])
+        sau = np.asarray(samples["merged_auto"])
+        smr = np.asarray(samples["merged_rgba"])
         per_call = float(np.median(sf))
         det = {
             "rtt_s": rtt,
@@ -122,20 +149,33 @@ def main():
         t_m = float(np.median(sm))
         t_a = float(np.median(sa))
         t_mf = float(np.median(smf))
-        # the auto default = fast pass + full pass iff truncation triggered
-        t_auto = t_m + (t_mf if trunc else 0.0)
+        t_auto = float(np.median(sau))
+        t_mr = float(np.median(smr))
+        # contention-free cross-round ground truth (xplane device-busy; the
+        # wall numbers above swing 1-2.2x with shared-pool load)
+        busy = {}
+        for name, fn in (("fixed", fixed_fn), ("merged", fm),
+                         ("merged_auto", fm_auto), ("rgba", rgba_fn),
+                         ("merged_rgba", fm_rgba)):
+            b = device_busy_ms(fn, iters=3)
+            if b is not None:
+                busy[name + "_device_busy_ms"] = round(b, 3)
         merged_det = {
             # 4-channel fixed-grid lane (has_alpha=True: 4ch weighted error,
             # third-residual sweep in fit); same 4K with a gradient alpha
             "rgba_ms_per_image": round(t_a * 1e3, 3),
             "rgba_mpxs": round(h * w * 1e-6 / t_a, 1),
-            # the DEFAULT merged path (cap_frac=0 auto-capacity): on this
-            # content the fast pass reports truncated runs, so the default
-            # re-encodes at full capacity -- its honest cost is the sum
+            # the DEFAULT merged path (cap_frac=0 auto-capacity, split
+            # pre/finish): one coalesce pass sized from the measured run
+            # count -- no retry, no dropped runs (this 4K needs the full
+            # bucket: n_run_blocks below)
             "merged_full_ms_per_image": round(t_mf * 1e3, 3),
-            "merged_auto_triggered": bool(trunc),
             "merged_auto_ms_per_image": round(t_auto * 1e3, 3),
             "merged_auto_mpxs": round(h * w * 1e-6 / t_auto, 1),
+            "merged_auto_cap": auto_cap,
+            "merged_auto_n_run_blocks": n_run,
+            "merged_rgba_ms_per_image": round(t_mr * 1e3, 3),
+            "merged_rgba_mpxs": round(h * w * 1e-6 / t_mr, 1),
             "merged_ms_per_image": round(t_m * 1e3, 3),
             "merged_mpxs": round(h * w * 1e-6 / t_m, 1),
             "merged_vs_blocked_16core_est": round(
@@ -151,6 +191,7 @@ def main():
             "merged_minus_fixed_ms": round(
                 float(np.median(sm - sf)) * 1e3, 3
             ),
+            **busy,
         }
     except Exception as e:
         # a broken merged path must not look green: flag the whole run

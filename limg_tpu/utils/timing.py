@@ -103,3 +103,50 @@ def time_device_fns(fns: dict, rounds: int = 10, inner: int = 5):
                 max(time.perf_counter() - t0 - rtt, 1e-9) / inner
             )
     return samples, rtt
+
+
+def device_busy_ms(fn, iters: int = 3):
+    """Contention-free device-busy time of ``fn`` per call, via an xplane
+    trace (ms), or None when tracing/parsing is unavailable.
+
+    The shared TPU pool adds 1-2.2x wall-clock contention noise that
+    rtt-subtraction cannot remove (it delays whole dispatch batches); the
+    xplane XLA-op duration total is ground truth for cross-round
+    comparisons (CLAUDE.md timing rules). Uses the pure-python protobuf
+    parser (PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION must be ``python``
+    before protobuf first loads; set by callers like bench.py).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="limg_xplane_")
+    try:
+        np.asarray(fn())                      # warm (compile outside trace)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(iters):
+                _sync_scalar(fn())
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+        total = 0
+        for path in glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                              recursive=True):
+            xs = xplane_pb2.XSpace()
+            with open(path, "rb") as f:
+                xs.ParseFromString(f.read())
+            for plane in xs.planes:
+                if "TPU" not in plane.name and "/device" not in plane.name:
+                    continue
+                for line in plane.lines:
+                    if line.name != "XLA Ops":
+                        continue
+                    for ev in line.events:
+                        total += ev.duration_ps
+        if total == 0:
+            return None
+        return total / 1e9 / iters
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
