@@ -39,6 +39,23 @@ owner maps / PSNR / bpp plus compiled==interpret bit-equality
 
 Reference: limg_blocked_encode3d_test (src/limg.cpp:2329-2453) is the
 serial original of the merged driver this feeds.
+
+STATUS (deliberate keep, round 5): measured on the real chip this layout
+LOST to Morton -- natural merge-only 20.6 ms vs morton 9.5 on a 4K -- for
+two structural reasons recorded in STATUS.md round-4 item 3: (a) per-block
+row math is 8x-replicated in natural layout and un-replicating via MXU
+compaction dots is launch-bound; (b) round 3's glue batch had already cut
+Morton's relayout cost below 1 ms, the very cost this design removes. It
+stays in the tree as a TESTED, GATED alternative (fused_layout="natural",
+3 compiled-device gate cases + tests/test_natural.py) rather than a probe
+because (1) it is the executable form of the negative result -- the
+measurement can be reproduced against HEAD at any time, (2) its layout
+pressure created the shared _RowOps reducer interface that the fixed,
+Morton, segment, and natural kernels now all use, and (3) it is the only
+path exercising sublane-roll butterflies and the bit-exact MXU one-hot
+compaction, both likely ingredients of future kernels. The maintenance
+bill is known: _RowOps changes pay a three-layout test pass (the round-4
+refactor silently cost ~1.9 ms until re-measured, STATUS item 4a).
 """
 
 from __future__ import annotations

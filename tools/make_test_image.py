@@ -37,6 +37,11 @@ def make_family(name: str, h: int = 1080, w: int = 1920, seed: int = 42) -> np.n
     - "smooth":   low-noise large-scale gradients (factor planes dominate)
     - "graphics": UI-like content -- flat panels, 8px bands, hard edges,
                   text-ish speckle rows (exercises merging + coalescing)
+    - "unaligned": alignment-adversarial -- large coherent regions
+                  straddling every 2^L block boundary, diagonal bands,
+                  off-grid anchors (VERDICT r4 item 4: where the
+                  reference's free-anchor grower could beat the aligned
+                  quadtree geometry)
     """
     rng = np.random.default_rng(seed)
     if name == "photo":
@@ -71,5 +76,30 @@ def make_family(name: str, h: int = 1080, w: int = 1920, seed: int = 42) -> np.n
         for ty in range(120, h, 90):
             mask_txt = rng.random((12, w - w // 5 - 100)) < 0.18
             img[ty:ty + 12, w // 5 + 50:w - 50][mask_txt] = 30
+        return np.clip(img, 0, 255).astype(np.uint8)
+    if name == "unaligned":
+        # adversarial to ALIGNED region geometry (the rebuild's quadtree
+        # squares + axis-aligned runs): every coherent feature deliberately
+        # straddles 2^L block boundaries, where the reference's free-anchor
+        # rectangle grower (src/limg.cpp:1294-1496, recenter at :1427-1438)
+        # could amortize headers the aligned quadtree cannot.
+        img = np.empty((h, w, 3), np.float32)
+        # 45-degree diagonal gradient bands, widths NOT multiples of 8
+        d = (x + y)
+        band = (d // 37).astype(np.int64)
+        cols = rng.integers(40, 220, (int(band.max()) + 1, 3)).astype(np.float32)
+        img[:] = cols[band]
+        # large flat rectangles anchored at odd offsets, odd sizes
+        for (y0, x0, rh, rw) in ((13, 21, h // 3 + 5, w // 2 + 9),
+                                 (h // 2 + 7, w // 3 + 11, h // 3 - 3,
+                                  w // 2 - 13),
+                                 (5, w - w // 4 - 3, h // 2 + 1, w // 5 + 2)):
+            img[y0:y0 + rh, x0:x0 + rw] = rng.integers(50, 210, 3)
+        # one smooth off-grid ellipse (coherent curved boundary)
+        cy, cx = h * 0.37 + 3.0, w * 0.62 + 5.0
+        ell = ((y - cy) / (h * 0.21)) ** 2 + ((x - cx) / (w * 0.17)) ** 2 < 1.0
+        img[ell] = np.stack([180 + 40 * np.sin(x / 90), 90 + 50 * y / h,
+                             60 + 30 * np.cos(y / 70)], -1)[ell]
+        img += rng.normal(0, 1.0, img.shape)
         return np.clip(img, 0, 255).astype(np.uint8)
     raise ValueError(name)

@@ -162,7 +162,7 @@ def main():
             "|---|---|---|---|---|---|---|---|---|",
         ]
         real_path = "/root/reference/assets/original.png"
-        families = ["photo", "smooth", "graphics"]
+        families = ["photo", "smooth", "graphics", "unaligned"]
         if os.path.exists(real_path):
             families.append("real-photo")  # the reference README's own image
         for fam in families:
@@ -222,7 +222,7 @@ def main():
         ]
         from limg_tpu.bitstream import region_header_bits
 
-        for fam in ["photo", "smooth", "graphics"]:
+        for fam in ["photo", "smooth", "graphics", "unaligned"]:
             base = make_family(fam, hh, ww)
             fh, fw = base.shape[:2]
             img4 = np.dstack([base, np.full((fh, fw), 255, np.uint8)])
