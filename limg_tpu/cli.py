@@ -17,9 +17,10 @@ statistical perf evaluation (src/main.cpp:268-324).
 Flag mapping vs the reference:
 - --error-factor N        same knob (default 100)
 - --accurate-bit-crushing crush_mode="exhaustive" (vs default "ladder")
-- --fast-coalesce         latency-bounded run buffer (skip the
-                          full-capacity retry the auto default performs
-                          when runs were truncated)
+- --fast-coalesce         pin the latency-bounded run buffer (NB/8; may
+                          truncate runs) instead of the auto default,
+                          which sizes ONE coalesce pass to the measured
+                          run count so no run is ever dropped
 - --single-thread         accepted for parity; a no-op on TPU (parallelism
                           is the device, not a thread pool)
 - --fixed-grid            use the no-merging encoder (limg_encode3d_test
@@ -92,7 +93,7 @@ def _parse_args(argv):
         elif a == "--rd-merge":
             opts["merge_policy"] = "rd"
         elif a == "--fast-coalesce":
-            # latency-bounded run buffer (NB/8), no full-capacity retry;
+            # pin the latency-bounded run buffer (NB/8; may truncate);
             # default is auto capacity (no run ever dropped)
             opts["cap_frac"] = 8
         elif a == "--write-ltp1":

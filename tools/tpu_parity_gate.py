@@ -42,7 +42,15 @@ def run_gate(modes=("ladder", "exhaustive", "guess"), sizes=(8, 16, 32, 64)):
     alpha = np.clip(140 + 40 * rng.standard_normal((h, w, 1)), 0, 255)
     img4 = np.concatenate([img3, alpha.astype(np.uint8)], axis=-1)
 
-    results = {}
+    class _Progress(dict):
+        # per-case progress to stderr: the tunnel's compile helper can
+        # freeze mid-run (CLAUDE.md protocol), and a silent 50-minute gate
+        # is undebuggable without knowing which case it reached
+        def __setitem__(self, key, value):
+            print(f"[gate] {key}", file=sys.stderr, flush=True)
+            super().__setitem__(key, value)
+
+    results = _Progress()
     failures = []
     for has_alpha in (False, True):
         src = img4 if has_alpha else np.concatenate(
