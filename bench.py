@@ -33,10 +33,14 @@ def main():
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
+    if os.environ.get("LIMG_TPU_NO_COMPILE_CACHE"):
+        pass  # tunnel outage mode: stale cached executables can hang on load
+    elif not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
     import functools
     import jax.numpy as jnp
     from limg_tpu import EncodeConfig
