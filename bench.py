@@ -175,6 +175,13 @@ def main():
             # bucket: n_run_blocks below)
             "merged_full_ms_per_image": round(t_mf * 1e3, 3),
             "merged_auto_ms_per_image": round(t_auto * 1e3, 3),
+            # the auto lane's wall time pays ONE un-pipelined device fetch
+            # mid-encode (the capacity read) that single-graph lanes don't;
+            # on this tunneled dev setup that is a full ~27 ms network RTT,
+            # on production PCIe it is microseconds. The rtt-subtracted
+            # wall and the device_busy detail are the hardware-honest
+            # numbers (they agree).
+            "merged_auto_ms_minus_rtt": round((t_auto - rtt) * 1e3, 3),
             "merged_auto_mpxs": round(h * w * 1e-6 / t_auto, 1),
             "merged_auto_cap": auto_cap,
             "merged_auto_n_run_blocks": n_run,
