@@ -123,7 +123,8 @@ def device_busy_ms(fn, iters: int = 3):
 
     trace_dir = tempfile.mkdtemp(prefix="limg_xplane_")
     try:
-        np.asarray(fn())                      # warm (compile outside trace)
+        _sync_scalar(fn())                    # warm (compile outside trace;
+        #                                       fn may return a pytree)
         with jax.profiler.trace(trace_dir):
             for _ in range(iters):
                 _sync_scalar(fn())
