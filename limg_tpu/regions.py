@@ -1720,8 +1720,12 @@ def _rd_pre_body(image, cfg: EncodeConfig, dither_key, num_levels: int,
     # old_header_included that no per-member adjustment applies)
     bits0 = fac_bits0 + hdr * is_leader0.astype(jnp.int32)
     # per-block bpp = its owning REGION's bpp (region bits over region
-    # pixels), mirroring the dense path's per-region bpp_block broadcast
-    rbits0 = rbits0 + (hdr - static_block_bits(ch))
+    # pixels), mirroring the dense path's per-region bpp_block broadcast.
+    # NOTE the reported bpp stat keeps the reference's STATIC header
+    # estimate (src/limg.cpp:1629-1636) like every other path/column --
+    # the real serialized header only steers the DP cut and the coalesce
+    # acceptance; reporting it here once inflated the rd column by
+    # ~0.56 bpp vs the match column at equal encodes
     bpp0 = jnp.minimum(
         0xFF, (rbits0 + rcnt0 // 2) // jnp.maximum(rcnt0, 1))
 
