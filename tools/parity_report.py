@@ -217,8 +217,9 @@ def main():
             "similarity policy (the default).",
             "",
             "| family | ref blocked fast | ref blocked accurate | "
-            "match | rd l=0.003 | rd l=0.01 | rd l=0.03 |",
-            "|---|---|---|---|---|---|---|",
+            "match | rd l=0.003 | rd l=0.01 | rd l=0.03 | rd l=0.1 | "
+            "rd l=0.3 |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         from limg_tpu.bitstream import region_header_bits
 
@@ -232,7 +233,7 @@ def main():
             rba = run_reference_blocked("/tmp/parity_fam.png", 100,
                                         accurate=True)
             pts = [ours_merged(img4, cfg)]
-            for lam in (0.003, 0.01, 0.03):
+            for lam in (0.003, 0.01, 0.03, 0.1, 0.3):
                 out = encode_image_merged(
                     img4, cfg, fetch_planes=False, merge_policy="rd",
                     rd_lambda=lam,
